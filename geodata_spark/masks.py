@@ -1,0 +1,270 @@
+"""Mask algebra — raster suitability layers as cell tables.
+
+The reference's ``Mask`` is a dict of rasterio layers with merge /
+filter / crop / trim / area-filter operations (``src/geodata/mask.py``).
+Here a mask layer is a long DataFrame ``(layer, cell, lat, lon, value)``
+— one row per grid cell — and every raster op becomes a relational op:
+
+================  =====================================  ==============
+reference          semantics                              here
+================  =====================================  ==============
+filter_raster      isin / bounds / binarize               :func:`filter_raster`      (mask.py:1197-1239)
+merge_layer(and)   all layers nonzero                     :func:`merge_layers_and`   (mask.py:1441-1453)
+merge_layer(sum)   weighted pixel sum                     :func:`merge_layers_sum`   (mask.py:1422-1438)
+crop_raster        bbox window                            :func:`crop_raster`        (mask.py:1073-1112)
+trim_raster        drop all-zero borders                  :func:`trim_raster`        (mask.py:1242-1306)
+filter_area        drop small connected regions           :func:`filter_area`        (mask.py:1309-1398)
+save/load          layer directory persistence            :func:`save_mask` / :func:`load_mask` (mask.py:786-933)
+get_bounds/res     layer extents                          :func:`layer_bounds`       (mask.py:258-293)
+================  =====================================  ==============
+
+Scale notes: layer merges are hash aggregations on the cell id (no
+join needed — union + groupBy gives map-side partial aggregation);
+connected components is the one iterative op, implemented as bounded
+alternating row/column label propagation (each step a groupBy at the
+cell grain, no cross-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geodata_spark import cells
+
+
+# ---------------------------------------------------------------------------
+# P6 — filter_raster
+# ---------------------------------------------------------------------------
+
+def filter_raster(
+    layer: DataFrame,
+    values: list | None = None,
+    min_bound: float | None = None,
+    max_bound: float | None = None,
+    binarize: bool = False,
+    value_col: str = "value",
+) -> DataFrame:
+    """Keep cells by value set / open bounds; optionally binarize.
+
+    Matches the reference semantics: with ``binarize`` the passing
+    cells become 1 (else keep original value); failing cells become 0
+    (kept as rows — rasters keep shape; downstream merges treat 0 as
+    unavailable).  Bounds are exclusive, as in ``> min``/``< max``
+    (mask.py:1222-1228).
+    """
+    v = F.col(value_col)
+    cond = F.lit(True)
+    if values is not None:
+        cond = cond & v.isin(*[float(x) for x in values])
+    if min_bound is not None:
+        cond = cond & (v > F.lit(float(min_bound)))
+    if max_bound is not None:
+        cond = cond & (v < F.lit(float(max_bound)))
+    out_val = F.when(cond, F.lit(1.0) if binarize else v).otherwise(F.lit(0.0))
+    return layer.withColumn(value_col, out_val)
+
+
+def filter_raster_sql(
+    values: list | None = None,
+    min_bound: float | None = None,
+    max_bound: float | None = None,
+    binarize: bool = False,
+    value_sql: str = "value",
+) -> str:
+    """ANSI-SQL twin of :func:`filter_raster`'s value expression."""
+    conds = []
+    if values is not None:
+        conds.append(f"{value_sql} IN ({', '.join(repr(float(x)) for x in values)})")
+    if min_bound is not None:
+        conds.append(f"{value_sql} > {float(min_bound)!r}")
+    if max_bound is not None:
+        conds.append(f"{value_sql} < {float(max_bound)!r}")
+    cond = " AND ".join(conds) if conds else "TRUE"
+    out = "1.0" if binarize else value_sql
+    return f"CASE WHEN {cond} THEN {out} ELSE 0.0 END"
+
+
+# ---------------------------------------------------------------------------
+# J2/J3 — merge layers
+# ---------------------------------------------------------------------------
+
+def merge_layers_and(stacked: DataFrame, n_layers: int, key: str = "cell") -> DataFrame:
+    """Binary AND availability: 1 where ALL ``n_layers`` are nonzero.
+
+    ``stacked`` is the union of layers (long format with a ``layer``
+    column).  One hash aggregation — partial/final combine is
+    automatic, no join: count of nonzero layer rows per cell == n.
+    """
+    return (
+        stacked.groupBy(key)
+        .agg(
+            F.sum(F.when(F.col("value") != 0, 1).otherwise(0)).alias("_nz"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col(key),
+            F.when((F.col("_nz") == n_layers) & (F.col("_n") == n_layers), 1.0)
+            .otherwise(0.0)
+            .alias("value"),
+        )
+    )
+
+
+def merge_layers_sum(
+    stacked: DataFrame, weights: dict[str, float] | None = None, key: str = "cell"
+) -> DataFrame:
+    """Weighted sum across layers (default weight 1), one hash agg."""
+    if weights:
+        w = None
+        for name, wt in weights.items():
+            w = (
+                F.when(F.col("layer") == name, F.lit(float(wt)))
+                if w is None
+                else w.when(F.col("layer") == name, F.lit(float(wt)))
+            )
+        w = w.otherwise(F.lit(1.0))
+    else:
+        w = F.lit(1.0)
+    return (
+        stacked.groupBy(key)
+        .agg(F.sum(F.col("value") * w).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7/P8 — crop / trim
+# ---------------------------------------------------------------------------
+
+def crop_raster(
+    layer: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+) -> DataFrame:
+    """Window read by geo bounds — a pushed-down range predicate."""
+    return layer.filter(
+        F.col("lat").between(lat_min, lat_max) & F.col("lon").between(lon_min, lon_max)
+    )
+
+
+def trim_raster(layer: DataFrame) -> DataFrame:
+    """Drop all-zero border rows/cols (not interior) — two-pass.
+
+    Pass 1 aggregates the bounding box of nonzero cells (a tiny
+    all-reduce); pass 2 filters to it.  The reference walks border
+    rows/cols iteratively (mask.py:1242-1306); the relational form is
+    equivalent because dropping all-zero borders == cropping to the
+    nonzero bounding box.
+    """
+    bounds = layer.filter(F.col("value") != 0).agg(
+        F.min("lat").alias("lat0"),
+        F.max("lat").alias("lat1"),
+        F.min("lon").alias("lon0"),
+        F.max("lon").alias("lon1"),
+    )
+    return layer.join(F.broadcast(bounds)).filter(
+        F.col("lat").between(F.col("lat0"), F.col("lat1"))
+        & F.col("lon").between(F.col("lon0"), F.col("lon1"))
+    ).drop("lat0", "lat1", "lon0", "lon1")
+
+
+def layer_bounds(layer: DataFrame) -> DataFrame:
+    """(lat_min, lat_max, lon_min, lon_max, n_cells) — A9 analog."""
+    return layer.agg(
+        F.min("lat").alias("lat_min"),
+        F.max("lat").alias("lat_max"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — filter_area (connected components)
+# ---------------------------------------------------------------------------
+
+def filter_area(
+    layer: DataFrame,
+    min_cells: int,
+    y_col: str = "y_idx",
+    x_col: str = "x_idx",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Drop 4-connected nonzero regions smaller than ``min_cells``.
+
+    Adjacency is defined on integer grid indices (``y_col``/``x_col``
+    — rows/cols of the raster, NOT geographic cell ids: raster spacing
+    need not equal a cell-scheme edge).  Label propagation: each
+    nonzero cell starts labeled with its own packed index; every
+    iteration each cell takes the min label among itself and its 4
+    neighbors (computed by shifting the packed index ±1 in x and
+    ±2^27 in y — pure integer adds, no join against a neighbor table).
+    Convergence = zero labels changed in a round; ``max_iters`` bounds
+    the worst-case (grid diameter of the largest snake-shaped region)
+    and eager localCheckpoints keep lineage flat.
+
+    The reference reprojects to equal-area and thresholds in km²
+    (mask.py:1309-1398); at cell grain the equivalent threshold is a
+    cell count (callers convert km² → cells via the area of a cell at
+    the region's latitude).
+    """
+    key = (F.col(y_col).cast("long") * F.lit(2**27) + F.col(x_col).cast("long")).alias("cell")
+    layer = layer.withColumn("_cc_key", key)
+    active = layer.filter(F.col("value") != 0).select(
+        F.col("_cc_key").alias("cell"), F.col("_cc_key").alias("label")
+    )
+    active = active.localCheckpoint(eager=True)
+    y_step = 2**27
+    for it in range(max_iters):
+        nbrs = active.select(F.col("cell"), F.col("label"))
+        # candidate labels flowing to each neighbor cell + self
+        cands = None
+        for d in (0, 1, -1, y_step, -y_step):
+            c = nbrs.select((F.col("cell") + F.lit(d)).alias("cell"), "label")
+            cands = c if cands is None else cands.unionByName(c)
+        merged = (
+            cands.groupBy("cell").agg(F.min("label").alias("new_label"))
+            .join(active.select("cell", "label"), "cell")  # keep only real cells
+        )
+        # eager checkpoint each round: truncates lineage so the
+        # fixpoint probe + next round don't recompute the whole chain
+        merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("new_label") < F.col("label")).count()
+        active = merged.select("cell", F.least("new_label", "label").alias("label"))
+        if changed == 0:
+            break
+    sizes = active.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    keep = active.join(
+        F.broadcast(sizes.filter(F.col("n") >= min_cells).select("label")), "label"
+    ).select(F.col("cell").alias("_cc_key"), F.lit(1).alias("_keep"))
+    return (
+        layer.join(keep, "_cc_key", "left")
+        .withColumn(
+            "value",
+            F.when(F.col("_keep").isNotNull(), F.col("value")).otherwise(F.lit(0.0)),
+        )
+        .drop("_keep", "_cc_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11 — persistence
+# ---------------------------------------------------------------------------
+
+def save_mask(stacked: DataFrame, path: str) -> None:
+    """Persist a named mask (all layers) partitioned by layer name."""
+    stacked.write.mode("overwrite").partitionBy("layer").parquet(path)
+
+
+def load_mask(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def with_cell(df: DataFrame, res: int = 9) -> DataFrame:
+    return df.withColumn("cell", cells.cell_expr(F.col("lat"), F.col("lon"), res))

@@ -196,6 +196,163 @@ GROUP BY zone_id
 
 
 # ---------------------------------------------------------------------------
+# mask algebra (M3): filter_raster → merge(and) + merge(sum) → threshold
+# ---------------------------------------------------------------------------
+
+MODIS_AVAIL = list(range(1, 11))  # suitability classes, notebook-style
+# dyadic weights (k/32, summing to 1): merge sums stay order-independent
+# and bit-exact vs the oracle; mirrors the notebook's .15/.1/.3/.45 mix
+MERGE_WEIGHTS = {
+    "elevation": 5 / 32,
+    "slope": 3 / 32,
+    "modis": 10 / 32,
+    "protected": 14 / 32,
+}
+SUITABLE_THRESHOLD = 25 / 32
+
+
+def _filtered_mask_layers(spark: SparkSession):
+    from geodata_spark import masks
+    from geodata_spark.synth import synth_mask_layers
+
+    raw = synth_mask_layers(spark)
+    elev = masks.filter_raster(raw.filter(F.col("layer") == "elevation"), max_bound=3000, binarize=True)
+    slope = masks.filter_raster(raw.filter(F.col("layer") == "slope"), max_bound=20, binarize=True)
+    modis = masks.filter_raster(raw.filter(F.col("layer") == "modis"), values=MODIS_AVAIL, binarize=True)
+    prot = masks.filter_raster(raw.filter(F.col("layer") == "protected"), values=[0.0], binarize=True)
+    return elev.unionByName(slope).unionByName(modis).unionByName(prot)
+
+
+def q_mask_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_raster per layer → AND merge + weighted-sum merge + ≥0.8
+    binarize, per cell (mask_creation_workflow.ipynb pipeline)."""
+    from geodata_spark import masks
+
+    stacked = _filtered_mask_layers(spark)
+    m_and = masks.merge_layers_and(stacked, n_layers=4).withColumnRenamed("value", "and_value")
+    m_sum = masks.merge_layers_sum(stacked, MERGE_WEIGHTS).withColumnRenamed("value", "sum_value")
+    out = m_and.join(m_sum, "cell")
+    return out.select(
+        "cell",
+        "and_value",
+        "sum_value",
+        F.when(F.col("sum_value") >= SUITABLE_THRESHOLD, 1.0).otherwise(0.0).alias("suitable"),
+    )
+
+
+def _mask_filter_sql() -> str:
+    from geodata_spark import masks as _m
+
+    elev = _m.filter_raster_sql(max_bound=3000, binarize=True)
+    slope = _m.filter_raster_sql(max_bound=20, binarize=True)
+    modis = _m.filter_raster_sql(values=MODIS_AVAIL, binarize=True)
+    prot = _m.filter_raster_sql(values=[0.0], binarize=True)
+    return f"""
+filtered AS (
+  SELECT layer, cell, lat, lon,
+         CASE layer
+           WHEN 'elevation' THEN {elev}
+           WHEN 'slope' THEN {slope}
+           WHEN 'modis' THEN {modis}
+           WHEN 'protected' THEN {prot}
+         END AS value
+  FROM maskl
+)"""
+
+
+from geodata_spark.synth import mask_layers_sql_cte  # noqa: E402
+
+_W_SQL = " + ".join(
+    f"sum(CASE WHEN layer = '{n}' THEN value ELSE 0 END) * {w!r}"
+    for n, w in MERGE_WEIGHTS.items()
+)
+_MASK_MERGE_SQL = f"""
+WITH {mask_layers_sql_cte()},
+{_mask_filter_sql()},
+agg AS (
+  SELECT cell,
+         CASE WHEN sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END) = 4
+                   AND count(*) = 4 THEN 1.0 ELSE 0.0 END AS and_value,
+         {_W_SQL} AS sum_value
+  FROM filtered
+  GROUP BY cell
+)
+SELECT cell, and_value, sum_value,
+       CASE WHEN sum_value >= {SUITABLE_THRESHOLD!r} THEN 1.0 ELSE 0.0 END AS suitable
+FROM agg
+"""
+
+
+def q_mask_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crop-to-zero then trim_raster: nonzero bounding box semantics."""
+    from geodata_spark import masks
+    from geodata_spark.synth import synth_mask_layers
+
+    elev = synth_mask_layers(spark).filter(F.col("layer") == "elevation")
+    # zero out everything outside an interior window, then trim
+    windowed = elev.withColumn(
+        "value",
+        F.when(
+            F.col("lat").between(25.0, 40.0) & F.col("lon").between(90.0, 120.0),
+            F.col("value"),
+        ).otherwise(F.lit(0.0)),
+    )
+    trimmed = masks.trim_raster(windowed)
+    return trimmed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("lat").alias("lat_min"),
+        F.max("lat").alias("lat_max"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+_MASK_TRIM_SQL = f"""
+WITH {mask_layers_sql_cte()},
+windowed AS (
+  SELECT lat, lon,
+         CASE WHEN lat BETWEEN 25.0 AND 40.0 AND lon BETWEEN 90.0 AND 120.0
+              THEN value ELSE 0.0 END AS value
+  FROM maskl WHERE layer = 'elevation'
+),
+nz AS (
+  SELECT min(lat) AS lat0, max(lat) AS lat1, min(lon) AS lon0, max(lon) AS lon1
+  FROM windowed WHERE value <> 0
+)
+SELECT count(*) AS n_cells,
+       min(lat) AS lat_min, max(lat) AS lat_max,
+       min(lon) AS lon_min, max(lon) AS lon_max,
+       sum(value) AS value_sum
+FROM windowed, nz
+WHERE lat BETWEEN nz.lat0 AND nz.lat1 AND lon BETWEEN nz.lon0 AND nz.lon1
+"""
+
+
+def q_filter_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component area filter (A6) — iterative; rows-only check
+    (no closed-form SQL oracle; validated against a numpy flood fill in
+    pytest)."""
+    from geodata_spark import masks
+
+    stacked = _filtered_mask_layers(spark)
+    m_and = masks.merge_layers_and(stacked, n_layers=4)
+    idx = (
+        _filtered_mask_layers(spark)
+        .filter(F.col("layer") == "elevation")
+        .select("cell", "y_idx", "x_idx")
+    )
+    withidx = m_and.join(idx, "cell")
+    # the linear-congruential synth yields only 1- and 2-cell regions;
+    # threshold 2 keeps the 2-cell pairs (a non-trivial filter result)
+    out = masks.filter_area(withidx.select("cell", "y_idx", "x_idx", "value"), min_cells=2)
+    return out.agg(
+        F.sum(F.when(F.col("value") != 0, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -204,6 +361,9 @@ QUERIES = {
     "span_sequence": q_span_sequence,
     "cell_hist": q_cell_hist,
     "zone_cover": q_zone_cover,
+    "mask_merge": q_mask_merge,
+    "mask_trim": q_mask_trim,
+    "filter_area_cc": q_filter_area,
 }
 
 ORACLES = {
@@ -211,4 +371,7 @@ ORACLES = {
     "span_sequence": _SPAN_SEQ_SQL,
     "cell_hist": _CELL_HIST_SQL,
     "zone_cover": _ZONE_COVER_SQL,
+    "mask_merge": _MASK_MERGE_SQL,
+    "mask_trim": _MASK_TRIM_SQL,
+    # filter_area_cc: iterative — rows-only check by design
 }

@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Pre-size the heap: with many executor threads the default
+        # tiny -Xms triggers a growth/GC storm on the first
+        # allocation-heavy stage (observed 15x first-run outliers at
+        # local[32]).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms8g -XX:+UseG1GC -XX:+AlwaysPreTouch",
+        )
         # 128 MiB split targets keep scan tasks balanced at 100 TB scale
         # and are harmless at test scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

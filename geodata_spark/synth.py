@@ -67,6 +67,8 @@ __all__ = [
     "documents_sql_cte",
     "synth_grid_vars",
     "grid_vars_sql_cte",
+    "synth_mask_layers",
+    "mask_layers_sql_cte",
     "N_DOCS_MULTIPLIER",
 ]
 
@@ -396,4 +398,86 @@ gridv AS (
          {LON0} + {DLON} * x AS lon,
          {var_sql}
   FROM _g1
+)"""
+
+
+# ---------------------------------------------------------------------------
+# mask_layers — raster suitability layers (FIXTURES.md §4)
+# ---------------------------------------------------------------------------
+# Mirrors the notebook stack (elevation / slope / modis landuse /
+# protected, docs/source/mask/mask_creation_workflow.ipynb). All values
+# dyadic → merge sums are order-independent and oracle-exact.
+
+MASK_LAYERS = {
+    # name: (expr builder params: span, divisor, offset, key)
+    "elevation": (8192, 2.0, 0.0, 30),    # 0..4096 m, step 0.5
+    "slope": (960, 16.0, 0.0, 31),        # 0..60 deg
+    "modis": (17, 1.0, 1.0, 32),          # land-use class 1..17
+    "protected": (16, 1.0, 0.0, 33),      # 0..15; ==0 → protected flag below
+}
+
+
+def synth_mask_layers(spark: SparkSession, ny: int = NY, nx: int = NX) -> DataFrame:
+    """Long mask-layer table (layer, cell, lat, lon, value), res-9 cells."""
+    from geodata_spark import cells as _cells
+
+    n = ny * nx
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    y = (F.col("id") / F.lit(nx)).cast("long")
+    x = F.col("id") - y * F.lit(nx)
+    lat = (F.lit(LAT0) + F.lit(DLAT) * y.cast("double")).alias("lat")
+    lon = (F.lit(LON0) + F.lit(DLON) * x.cast("double")).alias("lon")
+    parts = []
+    for name, (span, div, off, key) in MASK_LAYERS.items():
+        g = _g_expr(F.lit(0), y, x, key)
+        val = (F.lit(off) + (g % span).cast("double") / F.lit(div))
+        if name == "protected":
+            val = F.when((g % span) == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        parts.append(
+            df.select(
+                F.lit(name).alias("layer"),
+                _cells.cell_expr(lat, lon, 9).alias("cell"),
+                y.alias("y_idx"),
+                x.alias("x_idx"),
+                lat,
+                lon,
+                val.alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mask_layers_sql_cte(ny: int = NY, nx: int = NX) -> str:
+    """DuckDB CTE ``maskl`` mirroring :func:`synth_mask_layers`."""
+    from geodata_spark import cells as _cells
+
+    n = ny * nx
+    selects = []
+    for name, (span, div, off, key) in MASK_LAYERS.items():
+        g = _g_sql("0", "y", "x", key)
+        if name == "protected":
+            val = f"CASE WHEN ({g}) % {span} = 0 THEN 1.0 ELSE 0.0 END"
+        else:
+            val = f"{off!r} + CAST(({g}) % {span} AS DOUBLE) / {div!r}"
+        selects.append(
+            f"SELECT '{name}' AS layer, "
+            f"{_cells.cell_sql('lat', 'lon', 9)} AS cell, lat, lon, {val} AS value "
+            f"FROM _mgrid"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+_m0 AS (
+  SELECT CAST(r.range AS BIGINT) AS id FROM range({n}) r
+),
+_mgrid AS (
+  SELECT id // {nx} AS y, id % {nx} AS x,
+         {LAT0} + {DLAT} * (id // {nx}) AS lat,
+         {LON0} + {DLON} * (id % {nx}) AS lon
+  FROM _m0
+),
+maskl AS (
+  {union}
 )"""

@@ -1,0 +1,126 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geodata_spark import cells, masks
+
+
+def _layer_df(spark, arr: np.ndarray, lat0=0.125, lon0=0.125, step=0.25):
+    """2-D numpy raster → long cell table (res-9 aligned grid)."""
+    ny, nx = arr.shape
+    rows = []
+    for y in range(ny):
+        for x in range(nx):
+            lat, lon = lat0 + y * step, lon0 + x * step
+            rows.append(
+                (
+                    "t",
+                    int(cells.cell_id_np(np.array([lat]), np.array([lon]), 9)[0]),
+                    y,
+                    x,
+                    lat,
+                    lon,
+                    float(arr[y, x]),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "layer string, cell long, y_idx long, x_idx long, lat double, lon double, value double",
+    )
+
+
+def _to_array(df, ny, nx, lat0=0.125, lon0=0.125, step=0.25):
+    out = np.zeros((ny, nx))
+    for r in df.collect():
+        y = round((r.lat - lat0) / step)
+        x = round((r.lon - lon0) / step)
+        out[y, x] = r.value
+    return out
+
+
+def test_filter_raster_modes(spark):
+    arr = np.array([[1.0, 5.0, 9.0], [3.0, 0.0, 7.0]])
+    df = _layer_df(spark, arr)
+    got = _to_array(masks.filter_raster(df, values=[1, 7]), 2, 3)
+    assert (got == np.array([[1, 0, 0], [0, 0, 7]])).all()
+    got = _to_array(masks.filter_raster(df, min_bound=3, binarize=True), 2, 3)
+    assert (got == np.array([[0, 1, 1], [0, 0, 1]])).all()
+    got = _to_array(masks.filter_raster(df, min_bound=1, max_bound=7), 2, 3)
+    assert (got == np.array([[0, 5, 0], [3, 0, 0]])).all()
+
+
+def test_merge_and_sum(spark):
+    a = np.array([[1.0, 0.0], [1.0, 1.0]])
+    b = np.array([[1.0, 1.0], [0.0, 2.0]])
+    da = _layer_df(spark, a).withColumn("layer", F.lit("a"))
+    db = _layer_df(spark, b).withColumn("layer", F.lit("b"))
+    stacked = da.unionByName(db)
+    got_and = _to_array(masks.merge_layers_and(stacked, 2).join(da.select("cell", "lat", "lon"), "cell"), 2, 2)
+    assert (got_and == np.array([[1, 0], [0, 1]])).all()
+    got_sum = _to_array(
+        masks.merge_layers_sum(stacked, {"a": 0.25, "b": 0.5}).join(da.select("cell", "lat", "lon"), "cell"),
+        2,
+        2,
+    )
+    assert (got_sum == 0.25 * a + 0.5 * b).all()
+
+
+def test_trim_and_crop(spark):
+    arr = np.zeros((5, 5))
+    arr[1:3, 2:4] = 7.0
+    df = _layer_df(spark, arr)
+    trimmed = masks.trim_raster(df)
+    rows = trimmed.collect()
+    assert len(rows) == 4  # 2x2 nonzero bounding box
+    assert all(r.value == 7.0 for r in rows)
+    cropped = masks.crop_raster(df, 0.0, 0.5, 0.0, 0.5)  # 2x2 window
+    assert cropped.count() == 4
+
+
+def _flood_fill_areas(arr: np.ndarray) -> np.ndarray:
+    """numpy oracle: 4-connected component sizes per cell."""
+    ny, nx = arr.shape
+    seen = np.zeros_like(arr, dtype=bool)
+    sizes = np.zeros_like(arr)
+    for y in range(ny):
+        for x in range(nx):
+            if arr[y, x] == 0 or seen[y, x]:
+                continue
+            stack, comp = [(y, x)], []
+            seen[y, x] = True
+            while stack:
+                cy, cx = stack.pop()
+                comp.append((cy, cx))
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny2, nx2 = cy + dy, cx + dx
+                    if 0 <= ny2 < ny and 0 <= nx2 < nx and arr[ny2, nx2] != 0 and not seen[ny2, nx2]:
+                        seen[ny2, nx2] = True
+                        stack.append((ny2, nx2))
+            for cy, cx in comp:
+                sizes[cy, cx] = len(comp)
+    return sizes
+
+
+def test_filter_area_vs_flood_fill(spark):
+    rng = np.random.RandomState(7)
+    arr = (rng.rand(12, 12) < 0.45).astype(float)
+    df = _layer_df(spark, arr)
+    min_cells = 4
+    got = _to_array(masks.filter_area(df, min_cells=min_cells), 12, 12)
+    sizes = _flood_fill_areas(arr)
+    want = np.where(sizes >= min_cells, arr, 0.0)
+    assert (got == want).all()
+
+
+def test_filter_area_snake(spark):
+    # a long snake region: exercises multi-iteration label propagation
+    arr = np.zeros((8, 8))
+    arr[0, :] = 1
+    arr[:, 7] = 1
+    arr[7, :] = 1
+    df = _layer_df(spark, arr)
+    got = _to_array(masks.filter_area(df, min_cells=10), 8, 8)
+    assert (got == arr).all()  # single region of 22 cells, all kept
+    got2 = _to_array(masks.filter_area(df, min_cells=23), 8, 8)
+    assert (got2 == 0).all()
