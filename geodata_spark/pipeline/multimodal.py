@@ -1,0 +1,117 @@
+"""Multimodal columns: binary payloads with typed metadata.
+
+Image/audio/video content rides as opaque ``binary`` columns next to
+typed metadata; decode / feature-extraction / resize / frame-sampling
+run as Arrow-batched pandas UDFs over ``mapInPandas``.  The image and
+audio codec libraries are NOT in this container, so the decode step is
+STUBBED (``decode_stub`` raises ``NotImplementedError``; the default
+pipeline uses ``fake_decode`` — a deterministic byte-level transform)
+— but the Spark-side plumbing is real and tested: schemas, batch
+iterator shape, partition behavior, and the deterministic feature
+output all match what a real codec drop-in would see.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of the feature extraction stage
+FEATURE_SCHEMA = (
+    "doc_id string, media_ref string, n_bytes long, "
+    "width int, height int, n_frames int, feature array<float>"
+)
+
+
+def attach_payloads(media_spans: DataFrame, payload_bytes: int = 256) -> DataFrame:
+    """Synthesize deterministic binary payloads from media_ref.
+
+    Stands in for fetching blobs from object storage; payload =
+    sha256-keystream of the ref, so every engine run (and the test
+    oracle) sees identical bytes.
+    """
+
+    @F.pandas_udf("binary")
+    def _payload(ref: pd.Series) -> pd.Series:
+        out = []
+        for r in ref:
+            h = hashlib.sha256((r or "").encode()).digest()
+            reps = (payload_bytes + len(h) - 1) // len(h)
+            out.append((h * reps)[:payload_bytes])
+        return pd.Series(out)
+
+    return media_spans.withColumn("payload", _payload(F.col("media_ref")))
+
+
+def decode_stub(payload: bytes) -> np.ndarray:
+    """Real codec entry point — intentionally unimplemented here.
+
+    A deployment drops in PIL/ffmpeg behind this exact signature.
+    """
+    raise NotImplementedError(
+        "image/audio codecs are not available in this environment; "
+        "use fake_decode for deterministic testing"
+    )
+
+
+def fake_decode(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
+    """Deterministic stand-in decode: bytes → (h, w) uint8 'pixels'."""
+    need = width * height
+    reps = (need + len(payload) - 1) // len(payload)
+    arr = np.frombuffer((payload * reps)[:need], dtype=np.uint8)
+    return arr.reshape(height, width)
+
+
+def extract_features(media: DataFrame, width: int = 8, height: int = 8,
+                     use_stub: bool = False) -> DataFrame:
+    """mapInPandas feature extraction: decode → 16-bin byte histogram.
+
+    Iterator-of-batches form so a real decoder amortizes model/codec
+    init once per partition (the pattern the reference's numba kernels
+    map to — SURVEY §2.10 U6).
+    """
+    decode = decode_stub if use_stub else fake_decode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, widths, heights, frames, sizes = [], [], [], [], []
+            for payload in pdf["payload"]:
+                img = decode(bytes(payload), width, height)
+                hist, _ = np.histogram(img, bins=16, range=(0, 256))
+                feats.append((hist / max(1, img.size)).astype(np.float32))
+                widths.append(width)
+                heights.append(height)
+                frames.append(1)
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "n_bytes": sizes,
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": frames,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: plumbing real (schema + passthrough), kernel stubbed
+    to the deterministic fake (a real deployment swaps fake_decode)."""
+    return extract_features(media, width=width, height=height)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling for video refs: deterministic keep-1-in-n on the
+    (doc_id, media_ref) hash — a row-level filter, no Python."""
+    return media.filter(
+        F.pmod(F.xxhash64("doc_id", "media_ref"), F.lit(every_n)) == 0
+    )

@@ -1,0 +1,141 @@
+"""Text analysis: tokenization, quality scoring, language ID, fingerprints.
+
+Engine-neutral where possible; the one dialect split is
+``regexp_replace`` (DuckDB needs an explicit ``'g'`` flag), handled by
+:func:`rr`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = r"[.,;:!?()\x27\x22-]"
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "y", "de"],
+}
+
+
+def rr(expr: str, pattern: str, replacement: str, dialect: str) -> str:
+    """Global regexp_replace in either dialect.
+
+    Spark SQL string literals process backslash escapes (so the regex
+    ``\\s`` must be written ``\\\\s`` in the SQL text); DuckDB literals
+    do not.  Patterns are given here in raw regex form.
+    """
+    if dialect == "duckdb":
+        return f"regexp_replace({expr}, '{pattern}', '{replacement}', 'g')"
+    spark_pat = pattern.replace("\\", "\\\\")
+    return f"regexp_replace({expr}, '{spark_pat}', '{replacement}')"
+
+
+def normalize_sql(expr: str, dialect: str) -> str:
+    """lowercase, strip non-alnum, collapse whitespace — the dedup key."""
+    x = f"lower({expr})"
+    x = rr(x, "[^a-z0-9 ]", " ", dialect)
+    x = rr(x, "\\s+", " ", dialect)
+    return f"trim({x})"
+
+
+def token_count_sql(expr: str, dialect: str) -> str:
+    """Whitespace token count (empty text → 0)."""
+    t = f"trim({expr})"
+    if dialect == "duckdb":
+        n = f"len(string_split_regex({t}, '\\s+'))"
+    else:
+        n = f"size(split({t}, '\\\\s+'))"
+    return f"(CASE WHEN length({t}) = 0 THEN 0 ELSE {n} END)"
+
+
+def class_count_sql(expr: str, char_class: str, dialect: str) -> str:
+    """Count of chars matching a class via the length-difference trick
+    (portable — neither engine needs regexp_count)."""
+    stripped = rr(expr, f"[^{char_class}]", "", dialect)
+    return f"length({stripped})"
+
+
+def punct_count_sql(expr: str, dialect: str) -> str:
+    return class_count_sql(expr, ".,;:!?()\\x27\\x22-", dialect)
+
+
+def digit_count_sql(expr: str, dialect: str) -> str:
+    return class_count_sql(expr, "0-9", dialect)
+
+
+def stopword_count_sql(expr: str, lang: str, dialect: str) -> str:
+    """Occurrences of the language's top stopwords (word-boundary via
+    space padding of the normalized text)."""
+    norm = f"(' ' || {normalize_sql(expr, dialect)} || ' ')"
+    terms = []
+    for w in STOPWORDS[lang]:
+        # count = (len - len(replace(all occurrences))) / len(' w ')? —
+        # replace ' w ' with ' ' shrinks by (len(w)+1) per hit
+        hitlen = len(w) + 1
+        if dialect == "duckdb":
+            rep = f"replace({norm}, ' {w} ', ' ')"
+        else:
+            rep = f"replace({norm}, ' {w} ', ' ')"
+        terms.append(
+            f"CAST((length({norm}) - length({rep})) / {hitlen} AS BIGINT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lang_guess_sql(expr: str, dialect: str) -> str:
+    """Argmax of per-language stopword hit counts ('und' = no hits).
+
+    Deterministic tie-break: higher count wins, then lexicographic
+    language code (via greatest over (count, lang) pairs encoded as
+    sortable strings).
+    """
+    str_t = "VARCHAR" if dialect == "duckdb" else "STRING"
+    parts = []
+    for lang in sorted(STOPWORDS):
+        c = stopword_count_sql(expr, lang, dialect)
+        # encode as zero-padded count + lang code for deterministic ordering
+        parts.append(f"lpad(CAST({c} AS {str_t}), 6, '0') || '{lang}'")
+    best = f"greatest({', '.join(parts)})"
+    return (
+        f"(CASE WHEN CAST(substr({best}, 1, 6) AS BIGINT) = 0 THEN 'und' "
+        f"ELSE substr({best}, 7, 2) END)"
+    )
+
+
+def fingerprint_sql(expr: str, dialect: str) -> str:
+    """Document fingerprint: md5 of the normalized text (portable)."""
+    return f"md5({normalize_sql(expr, dialect)})"
+
+
+def quality_score_sql(expr: str, dialect: str) -> str:
+    """Composite quality heuristic in [0,1]: length band + word length
+    + punctuation moderation (the C4/Gopher-style rule family)."""
+    t = expr
+    n_chars = f"length({t})"
+    n_tok = token_count_sql(t, dialect)
+    n_punct = punct_count_sql(t, dialect)
+    mean_wordlen = f"(CASE WHEN {n_tok} = 0 THEN 0.0 ELSE CAST({n_chars} AS DOUBLE) / {n_tok} END)"
+    len_ok = f"(CASE WHEN {n_chars} >= 50 AND {n_chars} <= 20000 THEN 1.0 ELSE 0.0 END)"
+    word_ok = f"(CASE WHEN {mean_wordlen} >= 3.0 AND {mean_wordlen} <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    punct_ok = (
+        f"(CASE WHEN {n_chars} = 0 THEN 0.0 "
+        f"WHEN CAST({n_punct} AS DOUBLE) / {n_chars} <= 0.2 THEN 1.0 ELSE 0.0 END)"
+    )
+    # CAST: literal-only arithmetic is DECIMAL in Spark SQL (exact
+    # numeric literals), DOUBLE-ish in DuckDB — pin the output type
+    return f"CAST((0.5 * {len_ok} + 0.25 * {word_ok} + 0.25 * {punct_ok}) AS DOUBLE)"
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat set as columns (Spark side)."""
+    d = "spark"
+    return (
+        docs.withColumn("token_count", F.expr(token_count_sql(text_col, d)).cast("long"))
+        .withColumn("punct_count", F.expr(punct_count_sql(text_col, d)).cast("long"))
+        .withColumn("digit_count", F.expr(digit_count_sql(text_col, d)).cast("long"))
+        .withColumn("lang_guess", F.expr(lang_guess_sql(text_col, d)))
+        .withColumn("fingerprint", F.expr(fingerprint_sql(text_col, d)))
+        .withColumn("quality", F.expr(quality_score_sql(text_col, d)))
+    )

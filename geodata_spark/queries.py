@@ -581,6 +581,166 @@ FROM pvt GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+from geodata_spark.pipeline import dedup as DD  # noqa: E402
+from geodata_spark.pipeline import similarity as SIM  # noqa: E402
+from geodata_spark.pipeline import text as TX  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic, token/punct/digit counts, md5 fingerprint,
+    quality score — all JVM expressions over the documents table."""
+    out = TX.with_text_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "token_count",
+        "punct_count",
+        "digit_count",
+        "lang_guess",
+        "fingerprint",
+        "quality",
+    )
+
+
+def _text_stats_sql() -> str:
+    d = "duckdb"
+    return f"""
+SELECT doc_id,
+       CAST({TX.token_count_sql('text', d)} AS BIGINT) AS token_count,
+       CAST({TX.punct_count_sql('text', d)} AS BIGINT) AS punct_count,
+       CAST({TX.digit_count_sql('text', d)} AS BIGINT) AS digit_count,
+       {TX.lang_guess_sql('text', d)} AS lang_guess,
+       {TX.fingerprint_sql('text', d)} AS fingerprint,
+       {TX.quality_score_sql('text', d)} AS quality
+FROM documents
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters on the normalized-text digest."""
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
+    return DD.exact_dedup(docs)
+
+
+_EXACT_DEDUP_SQL = f"""
+SELECT md5({TX.normalize_sql('text', 'duckdb')}) AS fingerprint,
+       count(*) AS cluster_size,
+       min(doc_id) AS survivor_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard pairs (inverted-index join) among the
+    first 150 docs, threshold 0.05."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 150)
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    )
+    out = DD.jaccard_pairs(docs, n=3, threshold=0.05)
+    return out.select(
+        "id_a", "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )
+
+
+_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, {TX.normalize_sql('text', 'duckdb')} AS norm
+  FROM documents WHERE doc_id < 150
+),
+tl AS (
+  SELECT id, string_split(norm, ' ') AS t FROM d
+),
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM tl
+  )
+  WHERE shingle IS NOT NULL
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.05
+"""
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 query vectors (similarity
+    baseline; ANN variants are pytest-validated against this)."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.brute_force_topk(vecs, queries, k=5)
+
+
+_ANN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         round(
+           list_inner_product(CAST(v.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[]))
+           / (sqrt(list_inner_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(CAST(q.query_vec AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])))),
+           6) AS cosine_r6
+  FROM embeddings v, q
+  WHERE v.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_r6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_r6 DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine_r6 FROM ranked WHERE rank <= 5
+"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16x4) near-dup pairs verified at Jaccard ≥ 0.3 —
+    approximate candidate generation; rows-only driver check (recall
+    vs exact Jaccard asserted in pytest)."""
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
+    out = DD.minhash_dedup(docs, threshold=0.3)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum("jaccard"), 6).alias("jaccard_sum"),
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair count (rows-only; properties in pytest)."""
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
+    out = DD.simhash_neardup_pairs(docs, max_hamming=16)
+    return out.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -600,6 +760,12 @@ QUERIES = {
     "resample_daily": q_resample_daily,
     "knn_neighbors": q_knn,
     "pv_daily": q_pv_daily,
+    "text_stats": q_text_stats,
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_brute_topk": q_ann_brute_topk,
+    "minhash_lsh_dedup": q_minhash_dedup,
+    "simhash_neardup": q_simhash_neardup,
 }
 
 ORACLES = {
@@ -618,4 +784,11 @@ ORACLES = {
     "resample_daily": _RESAMPLE_SQL,
     "knn_neighbors": _KNN_SQL,
     "pv_daily": _pv_sql(),
+    "text_stats": _text_stats_sql(),
+    "exact_dedup": _EXACT_DEDUP_SQL,
+    "jaccard_pairs": _JACCARD_SQL,
+    "ann_brute_topk": _ANN_SQL,
+    # minhash_lsh_dedup / simhash_neardup: LSH-approximate candidate
+    # generation — rows-only driver check; recall vs exact Jaccard is
+    # asserted in pytest (tests/test_pipeline.py)
 }

@@ -54,6 +54,11 @@ def compare_spark_duck(sdf, duck_con, sql: str, float_cols=(), sort_cols=None):
     assert len(left) == len(right), f"row counts differ: {len(left)} vs {len(right)}"
     for c in cols:
         l, r = left[c], right[c]
+        # catch type drift (e.g. Spark DECIMAL from literal arithmetic
+        # arriving as object dtype) — the driver's schema check would
+        assert (l.dtype.kind in "fiu") == (r.dtype.kind in "fiu"), (
+            f"column {c} dtype mismatch: {l.dtype} vs {r.dtype}"
+        )
         if l.dtype.kind == "f" or r.dtype.kind == "f":
             pd.testing.assert_series_equal(
                 l.astype("float64"), r.astype("float64"), check_names=False, rtol=0, atol=0

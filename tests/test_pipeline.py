@@ -1,0 +1,208 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodata_spark.pipeline import dedup as DD
+from geodata_spark.pipeline import multimodal as MM
+from geodata_spark.pipeline import similarity as SIM
+from geodata_spark.pipeline import text as TX
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(60)
+    return base.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def test_text_stats_hand_examples(spark):
+    rows = [
+        (1, "The cat and the dog, of course!"),
+        (2, "el perro y la casa de los gatos"),
+        (3, ""),
+        (4, "x1 2345 a?!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.with_text_stats(df).collect()}
+    assert out[1].token_count == 7
+    assert out[1].lang_guess == "en"
+    assert out[1].punct_count == 2  # comma + exclamation
+    assert out[2].lang_guess == "es"
+    assert out[3].token_count == 0
+    assert out[3].lang_guess == "und"
+    assert out[4].digit_count == 5
+    # fingerprint is stable + normalization-insensitive
+    df2 = spark.createDataFrame(
+        [(9, "The   CAT and the dog -- of course")], "doc_id long, text string"
+    )
+    fp1 = out[1].fingerprint
+    fp2 = TX.with_text_stats(df2).collect()[0].fingerprint
+    assert fp1 == fp2
+
+
+def test_exact_dedup_planted(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "Alpha  BETA gamma!"),  # same after normalization
+        (3, "different text entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.exact_dedup(df).collect()
+    sizes = sorted(r.cluster_size for r in out)
+    assert sizes == [1, 2]
+    dup = [r for r in out if r.cluster_size == 2][0]
+    assert dup.survivor_id == 1
+
+
+def _py_shingles(text, n=3):
+    import re
+
+    norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+    toks = norm.split(" ")
+    return set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)) if len(toks) >= n else set()
+
+
+def test_jaccard_pairs_vs_python(docs):
+    out = DD.jaccard_pairs(docs, n=3, threshold=0.01).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    sh = {r.doc_id: _py_shingles(r.text) for _, r in pdf.iterrows()}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / len(sh[a] | sh[b])
+            if j >= 0.01:
+                want[(a, b)] = j
+    got = {(r.id_a, r.id_b): r.jaccard for _, r in out.iterrows()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_minhash_estimates_jaccard(spark):
+    # two docs with known overlap: jaccard = 1/3
+    a = " ".join(f"w{i}" for i in range(40))
+    b = " ".join(f"w{i}" for i in range(20, 60))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sigs = DD.minhash_signatures(df, k=128)
+    est = DD.minhash_jaccard_estimate(sigs, k=128).collect()[0].jaccard_est
+    sh1, sh2 = _py_shingles(a), _py_shingles(b)
+    true_j = len(sh1 & sh2) / len(sh1 | sh2)
+    assert abs(est - true_j) < 0.15  # 128 permutations → ~±0.09 stderr
+
+
+def test_minhash_lsh_finds_planted_neardup(docs, spark):
+    base = docs.limit(20)
+    planted = base.filter(F.col("doc_id") == base.agg(F.min("doc_id")).collect()[0][0])
+    # mutate lightly: append two words → very high jaccard
+    mutated = planted.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(mutated)
+    pairs = DD.minhash_dedup(corpus, threshold=0.5).collect()
+    pair_ids = {(r.id_a, r.id_b) for r in pairs}
+    orig = planted.collect()[0].doc_id
+    assert (orig, orig + 100000) in pair_ids
+    # and LSH-verified pairs agree with exact jaccard pairs at the threshold
+    exact = DD.jaccard_pairs(corpus, threshold=0.5).collect()
+    exact_ids = {(r.id_a, r.id_b) for r in exact}
+    assert pair_ids <= exact_ids  # no false positives (verified)
+
+
+def test_simhash_properties(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # identical
+        (3, "the quick brown fox jumps over the lazy cat today"),  # 1 word
+        (4, "completely unrelated text about spark catalyst engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r.id: r.simhash for r in DD.simhash(df).collect()}
+    assert sh[1] == sh[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+    pairs = DD.simhash_neardup_pairs(df, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(1, 2)}
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_ann_brute_force_vs_numpy(vecs):
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.brute_force_topk(vecs, queries, k=5).toPandas()
+    p = vecs.toPandas()
+    M = np.stack(p.embedding.to_numpy()).astype(np.float64)
+    ids = p.vec_id.to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+    for q in range(3):
+        qi = int(np.where(ids == q)[0][0])
+        sims = (M @ M[qi]) / (norms * norms[qi])
+        sims[qi] = -np.inf
+        order = np.argsort(np.round(-sims, 6), kind="stable")
+        got = out[out.query_id == q].sort_values("rank")
+        assert list(got.vec_id[:3]) == list(ids[order[:3]])
+
+
+def test_lsh_and_ivf_recall(vecs):
+    queries = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(vecs.select("embedding").first()[0])
+    exact = SIM.brute_force_topk(vecs, queries, k=5).toPandas()
+    lsh = SIM.hyperplane_lsh_topk(vecs, queries, dim=dim, k=5).toPandas()
+    ivf = SIM.ivf_topk(vecs, queries, n_cells=8, n_probe=4, k=5).toPandas()
+
+    def recall(approx):
+        hits = tot = 0
+        for q in range(8):
+            want = set(exact[exact.query_id == q].vec_id)
+            got = set(approx[approx.query_id == q].vec_id)
+            hits += len(want & got)
+            tot += len(want)
+        return hits / tot
+
+    assert recall(lsh) >= 0.5, f"LSH recall {recall(lsh)}"
+    assert recall(ivf) >= 0.5, f"IVF recall {recall(ivf)}"
+
+
+def test_multimodal_plumbing(spark):
+    from geodata_spark.spatial import explode_spans
+    from geodata_spark.synth import synth_documents
+
+    spans = explode_spans(synth_documents(spark, 300)).filter(F.col("kind") == "image")
+    media = MM.attach_payloads(spans.select("doc_id", "media_ref"))
+    feats = MM.extract_features(media)
+    pdf = feats.toPandas()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"doc_id", "media_ref", "n_bytes", "width", "height", "n_frames", "feature"}
+    assert (pdf.n_bytes == 256).all()
+    assert all(len(f) == 16 for f in pdf.feature)
+    assert all(abs(sum(f) - 1.0) < 1e-5 for f in pdf.feature)
+    # deterministic across runs
+    pdf2 = MM.extract_features(media).toPandas()
+    a = pdf.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    b = pdf2.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a.feature, b.feature))
+    # frame sampling halves-ish deterministically
+    n_all = media.count()
+    n_half = MM.sample_frames(media, 2).count()
+    assert 0.3 * n_all < n_half < 0.7 * n_all
+    # the real-codec entry point is present and explicit about its stub
+    with pytest.raises(NotImplementedError):
+        MM.decode_stub(b"xx")
