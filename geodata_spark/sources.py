@@ -1,0 +1,195 @@
+"""Sources / sinks / scan-layer transforms (SURVEY §2.1, §2.2).
+
+The reference's scan layer opens NetCDF/GeoTIFF files and
+canonicalizes them (rename coords, subset, wraparound, derive columns
+— ``src/geodata/datasets/era5.py``, ``merra2.py``, ``mask.py``).
+Here the canonical store is partitioned Parquet (Iceberg in
+deployment; its jars are absent in this image so the connector is
+gated), and the scan-layer transforms are plain DataFrame ops that
+Catalyst pushes into the scan:
+
+=====  ==========================================  ====================
+ref    semantics                                     here
+=====  ==========================================  ====================
+S1-S3  per-month variable scan + rename/derive      read_cutout (+convert)
+S4     meta scan (coords only)                      meta_scan — distinct on partition cols
+S5     multi-file merge by coords                   multi_file_merge — unionByName
+S7     GeoTIFF raster → table                       raster_to_table (rasterio gated; numpy path real)
+S9     NetCDF sink per (year,month)                 write_partitioned
+S10    GeoTIFF sink                                 table_to_raster (numpy out)
+S13    trim_variables                               trim_variables — column pruning
+P1     coord rename/canonicalize                    rename_canonical
+P2     spatial range filter                         spatial_subset (pushed predicate)
+P3     longitude wraparound                         lon_wraparound
+P5     lat direction normalize                      not needed (no positional index)
+F29    MERRA2 spinup stream id                      spinup_stream_id
+=====  ==========================================  ====================
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: canonical coordinate names (reference: datasets/era5.py:53-79)
+CANON_RENAMES = {"latitude": "lat", "longitude": "lon", "y": "lat", "x": "lon", "time": "ts"}
+
+
+def rename_canonical(df: DataFrame) -> DataFrame:
+    """P1 — rename lat/lon/time variants to canonical names."""
+    for old, new in CANON_RENAMES.items():
+        if old in df.columns and new not in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def spatial_subset(df: DataFrame, lat_min: float, lat_max: float,
+                   lon_min: float, lon_max: float, pad: float = 0.1) -> DataFrame:
+    """P2 — bounding-box filter with the reference's 0.1° bound padding
+    (datasets/era5.py:357-370); a pushed-down range predicate."""
+    return df.filter(
+        F.col("lat").between(lat_min - pad, lat_max + pad)
+        & F.col("lon").between(lon_min - pad, lon_max + pad)
+    )
+
+
+def lon_wraparound(df: DataFrame, lon_col: str = "lon") -> DataFrame:
+    """P3 — normalize longitudes (0,360] → (−180,180]
+    (datasets/era5.py:332-354, merra2.py:43-74: concat-and-shift; in
+    relational form a single conditional projection)."""
+    return df.withColumn(
+        lon_col,
+        F.when(F.col(lon_col) > 180.0, F.col(lon_col) - 360.0).otherwise(F.col(lon_col)),
+    )
+
+
+LON_WRAPAROUND_SQL = "(CASE WHEN lon > 180.0 THEN lon - 360.0 ELSE lon END)"
+
+
+def trim_variables(df: DataFrame, variables: list[str],
+                   keys: tuple[str, ...] = ("ts", "hour", "lat", "lon")) -> DataFrame:
+    """S13 — keep only configured variables (dataset.py:377-393).
+
+    Catalyst column pruning pushes this into the parquet scan
+    (ReadSchema shrinks); the reference had to rewrite files.
+    """
+    keep = [c for c in keys if c in df.columns] + [v for v in variables if v in df.columns]
+    return df.select(*keep)
+
+
+def meta_scan(df: DataFrame, coord_cols: tuple[str, ...] = ("lat", "lon")) -> DataFrame:
+    """S4 — coords-only dataset (prepare_meta_*): distinct coordinates.
+
+    On an Iceberg table this is served from metadata (partitions
+    table) without touching data files.
+    """
+    return df.select(*coord_cols).distinct()
+
+
+def multi_file_merge(parts: list[DataFrame]) -> DataFrame:
+    """S5 — merge per-variable files of one month by coordinates
+    (open_mfdataset combine='by_coords').  Columns may differ per part
+    (one file per variable): union with missing-column tolerance, then
+    collapse by coordinate key (first non-null per variable)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    keys = [c for c in ("ts", "hour", "lat", "lon") if c in out.columns]
+    vals = [c for c in out.columns if c not in keys]
+    return out.groupBy(*keys).agg(*[F.first(c, ignorenulls=True).alias(c) for c in vals])
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: tuple[str, ...]) -> None:
+    """S9 — the cutout sink: partitioned parquet (Iceberg in deploy)."""
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def read_cutout(spark: SparkSession, path: str) -> DataFrame:
+    return rename_canonical(spark.read.parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# raster bridge (S7/S10)
+# ---------------------------------------------------------------------------
+
+def raster_to_table(
+    spark: SparkSession,
+    array: np.ndarray,
+    lat0: float,
+    lon0: float,
+    dlat: float,
+    dlon: float,
+    layer: str = "layer0",
+    nodata: float = 0.0,
+) -> DataFrame:
+    """S7 — dense raster → long cell table.
+
+    Takes a numpy array directly (GeoTIFF decode via rasterio is gated
+    below — the library is not in this image).  Row-major (y, x) with
+    lat increasing by row, matching the reference's south→north MERRA2
+    convention (datasets/merra2.py:592).
+    """
+    ny, nx = array.shape
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "layer": layer,
+            "y_idx": yy.ravel().astype(np.int64),
+            "x_idx": xx.ravel().astype(np.int64),
+            "lat": lat0 + dlat * yy.ravel().astype(np.float64),
+            "lon": lon0 + dlon * xx.ravel().astype(np.float64),
+            "value": array.ravel().astype(np.float64),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    return df.fillna({"value": nodata})
+
+
+def read_geotiff(spark: SparkSession, path: str, layer: str | None = None) -> DataFrame:
+    """S7 — GeoTIFF scan, gated on rasterio availability.
+
+    The container has no rasterio; a deployment with it installed gets
+    the exact reference behavior (band 1, nodata→0 — mask.py:936-965).
+    """
+    try:
+        import rasterio  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "rasterio not available in this environment; use raster_to_table "
+            "with a numpy array, or install rasterio in deployment"
+        ) from e
+    with rasterio.open(path) as src:  # pragma: no cover
+        arr = src.read(1)
+        t = src.transform
+        return raster_to_table(
+            spark, arr[::-1], src.bounds.bottom, src.bounds.left, -t.e, t.a,
+            layer=layer or path,
+        )
+
+
+def table_to_raster(df: DataFrame, ny: int, nx: int) -> np.ndarray:
+    """S10 — long table → dense array (small rasters: mask sinks)."""
+    out = np.zeros((ny, nx))
+    for r in df.select("y_idx", "x_idx", "value").collect():
+        out[int(r.y_idx), int(r.x_idx)] = r.value
+    return out
+
+
+def spinup_stream_id(year: int, month: int) -> str:
+    """F29 — MERRA2 production stream id (datasets/merra2.py:597-611).
+
+    Case ladder on (year, month): streams 100/200/300/400, with the
+    2020-09 reprocessing exception (401).
+    """
+    if 1980 <= year < 1992:
+        return "100"
+    if 1992 <= year < 2001:
+        return "200"
+    if 2001 <= year < 2011:
+        return "300"
+    if year == 2020 and month == 9:
+        return "401"
+    return "400"

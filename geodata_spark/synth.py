@@ -330,6 +330,8 @@ GRID_VARS = {
     "albedo": (0.0, 16, 16.0, 15),           # 0..1 step 1/16
     "pressure": (95000.0, 160000, 16.0, 16),
     "influx": (0.0, 16384, 16.0, 17),
+    "ulml": (-20.0, 640, 16.0, 23),          # m/s -20..20 (wind components)
+    "vlml": (-20.0, 640, 16.0, 24),
     "dusmass25": (0.0, 1024, 16384.0, 18),   # kg/m3-ish small
     "sssmass25": (0.0, 1024, 16384.0, 19),
     "bcsmass": (0.0, 512, 16384.0, 20),

@@ -1,0 +1,124 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodata_spark import sources
+from geodata_spark.synth import synth_documents, synth_grid_vars
+
+
+def test_raster_roundtrip(spark):
+    arr = np.arange(12, dtype=float).reshape(3, 4)
+    df = sources.raster_to_table(spark, arr, 10.0, 20.0, 0.5, 0.625)
+    back = sources.table_to_raster(df, 3, 4)
+    assert (back == arr).all()
+    r = df.filter((F.col("y_idx") == 2) & (F.col("x_idx") == 3)).collect()[0]
+    assert r.lat == 11.0 and abs(r.lon - 21.875) < 1e-12
+
+
+def test_geotiff_gated(spark):
+    with pytest.raises(NotImplementedError):
+        sources.read_geotiff(spark, "/nonexistent.tif")
+
+
+def test_lon_wraparound(spark):
+    df = spark.createDataFrame([(170.0,), (181.0,), (359.75,)], ["lon"])
+    got = sorted(r.lon for r in sources.lon_wraparound(df).collect())
+    assert got == [-179.0, -0.25, 170.0]
+
+
+def test_trim_variables_prunes_scan(spark, tmp_path):
+    p = str(tmp_path / "gv")
+    synth_grid_vars(spark, 2, 3, 3).write.parquet(p)
+    df = sources.trim_variables(spark.read.parquet(p), ["temperature", "wnd100m"])
+    assert set(df.columns) == {"ts", "hour", "lat", "lon", "temperature", "wnd100m"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # column pruning reached the parquet scan: no aerosol columns read
+    assert "dusmass25" not in plan
+    assert "temperature" in plan
+
+
+def test_meta_scan_and_merge(spark):
+    gv = synth_grid_vars(spark, 2, 2, 2, variables=("temperature",))
+    meta = sources.meta_scan(gv)
+    assert meta.count() == 4
+    a = gv.select("hour", "lat", "lon", "temperature")
+    b = synth_grid_vars(spark, 2, 2, 2, variables=("wnd100m",)).select(
+        "hour", "lat", "lon", "wnd100m"
+    )
+    merged = sources.multi_file_merge([a, b])
+    assert set(merged.columns) == {"hour", "lat", "lon", "temperature", "wnd100m"}
+    assert merged.count() == 8
+    assert merged.filter(F.col("temperature").isNull() | F.col("wnd100m").isNull()).count() == 0
+
+
+def test_spinup_ladder():
+    # values checked against the reference case ladder (merra2.py:597-611)
+    assert sources.spinup_stream_id(1985, 1) == "100"
+    assert sources.spinup_stream_id(1992, 1) == "200"
+    assert sources.spinup_stream_id(2005, 6) == "300"
+    assert sources.spinup_stream_id(2015, 6) == "400"
+    assert sources.spinup_stream_id(2020, 9) == "401"
+    assert sources.spinup_stream_id(2020, 10) == "400"
+    assert sources.spinup_stream_id(2022, 1) == "400"
+
+
+# ---------------------------------------------------------------------------
+# plan quality — the shapes the engine promises at scale
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "docs")
+    synth_documents(spark, 5000).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_plan_single_scan_no_python(spark, corpus_parquet):
+    """expr PIP strategy: ONE parquet scan, broadcast join, zero Python."""
+    from geodata_spark import spatial, zonal
+    from geodata_spark.zones import ZONES
+
+    docs = spark.read.parquet(corpus_parquet)
+    pts = spatial.parse_geo_spans(docs)
+    zoned = spatial.join_zones(pts, spark, ZONES, res=9, strategy="expr")
+    w = zoned.withColumn("w", zonal.oracle_area_weight_expr(F.col("lat")))
+    out = zonal.zonal_weighted_mean(w, "val", "w", ["zone_id"], salt_buckets=8)
+    plan = _plan(out)
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") >= 1
+    assert "BroadcastHashJoin" in plan, "zone cover must broadcast"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        "expr strategy must not touch Python"
+    )
+    # partial + final hash aggregation (map-side combine present)
+    assert plan.count("HashAggregate") >= 4  # salted: 2 per phase
+
+
+def test_parse_pushes_kind_filter(spark, corpus_parquet):
+    from geodata_spark import spatial
+
+    docs = spark.read.parquet(corpus_parquet)
+    pts = spatial.parse_geo_spans(docs)
+    plan = _plan(pts)
+    # spans array itself can't push below explode, but the generate is
+    # followed by the kind filter before any wide transform
+    assert "posexplode" in plan
+    assert "geo" in plan
+
+
+def test_knn_no_cartesian(spark):
+    from geodata_spark import knn
+
+    src = synth_grid_vars(spark, 1, 8, 8, variables=("temperature",)).select(
+        "lat", "lon", "temperature"
+    )
+    tgts = spark.createDataFrame([(20.0, 74.0), (21.0, 75.0)], ["lat", "lon"])
+    out = knn.knn_join(tgts, src, k=2, res=6)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, "kNN must join on cell ring, not cross"
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
