@@ -837,6 +837,110 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# general relational surface: windows, sessionization, grouping sets
+# ---------------------------------------------------------------------------
+
+def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type — ranking window (O-class
+    top-k; raw parquet doubles, no arithmetic → byte-identical)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", F.col("rnk").cast("long").alias("rnk"), "event_id", "value")
+    )
+
+
+_EVENTS_TOPK_SQL = """
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 3
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session (W-class
+    analytic windows: lag + running sum)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; session TZ is UTC so NTZ→TS→epoch
+    # agrees with DuckDB's epoch(ts) on the naive value
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", newsess).withColumn(
+        "session_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_idx").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+_EVENTS_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(max(session_idx) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_zonal_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over (zone, day) — rollup-style tiling summary the
+    reference lacks but Spark SQL gives for free (SURVEY §2.4 note).
+    Dyadic-exact sums → bit-exact at every grouping level."""
+    docs = corpus(spark, sf_dir)
+    pts = spatial.parse_geo_spans(docs)
+    zoned = spatial.join_zones(pts, spark, ZONES, res=9)
+    w = zoned.withColumn("w", zonal.oracle_area_weight_expr(F.col("lat"))).withColumn(
+        "day_idx", (F.col("hour") / F.lit(24)).cast("int")
+    )
+    w.createOrReplaceTempView("_zgs")
+    return spark.sql(
+        """
+        SELECT zone_id, day_idx,
+               sum(val * w) AS vw_sum, sum(w) AS w_sum, count(*) AS n
+        FROM _zgs
+        GROUP BY GROUPING SETS ((zone_id, day_idx), (zone_id), ())
+        """
+    )
+
+
+_ZGS_SQL = f"""
+WITH {_CORPUS_CTE},
+geo AS (SELECT lat, lon, hour, val FROM spansx WHERE kind = 'geo'),
+zoned AS ({zone_membership_sql('geo')}),
+w AS (SELECT zone_id, CAST(hour // 24 AS INT) AS day_idx, val,
+             {zonal.ORACLE_AREA_WEIGHT_SQL} AS w FROM zoned)
+SELECT zone_id, day_idx, sum(val * w) AS vw_sum, sum(w) AS w_sum, count(*) AS n
+FROM w
+GROUP BY GROUPING SETS ((zone_id, day_idx), (zone_id), ())
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -860,6 +964,9 @@ QUERIES = {
     "lon_wraparound": q_lon_wraparound,
     "winddir": q_winddir,
     "solar_thermal_daily": q_solar_thermal,
+    "events_topk": q_events_topk,
+    "events_sessions": q_events_sessions,
+    "zonal_grouping_sets": q_zonal_grouping_sets,
     "text_stats": q_text_stats,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -888,6 +995,9 @@ ORACLES = {
     "lon_wraparound": _LON_WRAP_SQL,
     "winddir": _WINDDIR_SQL,
     "solar_thermal_daily": _solar_thermal_sql(),
+    "events_topk": _EVENTS_TOPK_SQL,
+    "events_sessions": _EVENTS_SESSIONS_SQL,
+    "zonal_grouping_sets": _ZGS_SQL,
     "text_stats": _text_stats_sql(),
     "exact_dedup": _EXACT_DEDUP_SQL,
     "jaccard_pairs": _JACCARD_SQL,
