@@ -415,10 +415,8 @@ def q_wind_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geodata_spark import convert as C
 
     t = C.TURBINE_SUZLON_S82
-    out = C.wind(_gv(spark), t, from_height=100, available_heights=(100,))
-    # hub wind at 79m from 100m via log_ratio involves ln() → exclude it
-    # from the compared columns; wind (the curve output) is compared on
-    # the rounded hub speed instead: use wnd100m directly as hub here.
+    # curve applied to wnd100m directly (the ln() of hub extrapolation
+    # is covered by windspd_extrap; this isolates the interp operator)
     out2 = _gv(spark).withColumn(
         "wind_pu",
         F.expr(FM.interp_curve("wnd100m", list(t["V"]), [p / t["P"] for p in t["POW"]])),
