@@ -247,13 +247,32 @@ def tilted_irradiation(
     elif "influx" in df.columns:
         influx = FM.clip_influx("influx", "sp_toa")
         k = f"(({influx}) / sp_toa)"
-        frac = FM.diffuse_fraction_simple(k, "sin(sp_alt)")
+        if clearsky_model is None:
+            clearsky_model = (
+                "enhanced"
+                if "temperature" in df.columns and "humidity" in df.columns
+                else "simple"
+            )
+        if clearsky_model == "enhanced":
+            frac = FM.diffuse_fraction_enhanced(
+                k, "sin(sp_alt)", "temperature", "humidity"
+            )
+        else:
+            frac = FM.diffuse_fraction_simple(k, "sin(sp_alt)")
         diffuse = f"(({influx}) * {frac})"
         direct = f"(({influx}) - {diffuse})"
     else:
         raise ValueError("need influx or influx_direct/influx_diffuse")
     df = df.withColumn("irr_direct", F.expr(direct)).withColumn("irr_diffuse", F.expr(diffuse))
-    albedo = "albedo" if "albedo" in df.columns else "0.0"
+    # _albedo (pv/irradiation.py:133-145): albedo var, else outflux/influx
+    # clipped at 1 (NaN from 0/0 flows into the model's fillna guards,
+    # matching the reference)
+    if "albedo" in df.columns:
+        albedo = "albedo"
+    elif "outflux" in df.columns:
+        albedo = "least(1.0, outflux / (irr_direct + irr_diffuse))"
+    else:
+        albedo = "0.0"
     if trigon_model == "simple":
         total = FM.tilted_irradiation_simple(
             "irr_direct", "irr_diffuse", "so_cosinc", "sp_alt", "so_slope", albedo

@@ -99,8 +99,16 @@ def obukhov_length_vph(tlml: str = "temperature", rhoa: str = "rhoa",
 
 
 def psi_linear(z: float, L: str) -> str:
-    """Linear stability correction — wind.py:73-89 (Businger/Dyer)."""
-    return f"(CASE WHEN ({z!r} / {L}) > 0 THEN -5.2 * ({z!r} / {L}) ELSE 0.0 END)"
+    """Linear stability correction — wind.py:73-89 (Businger/Dyer).
+
+    L == 0 (u* = 0, degenerate Obukhov length) → ψ = 0 (neutral); the
+    reference lets numpy emit ±inf there, which is physically
+    meaningless and forbidden under ANSI division.
+    """
+    return (
+        f"(CASE WHEN ({L}) = 0.0 THEN 0.0 "
+        f"WHEN ({z!r} / {L}) > 0 THEN -5.2 * ({z!r} / {L}) ELSE 0.0 END)"
+    )
 
 
 def psi_linearexp(z: float, L: str, const: float | None = None) -> str:
@@ -112,6 +120,7 @@ def psi_linearexp(z: float, L: str, const: float | None = None) -> str:
     a = f"({z!r} / {L})"
     exp_term = f"(-{A} * ({a} + {B!r} * ({a} - {C / D!r}) * exp(-{D!r} * {a}) + {B * C / D!r}))"
     branches = [
+        f"WHEN ({L}) = 0.0 THEN 0.0",  # degenerate L (u*=0): neutral
         f"WHEN {a} <= 0 THEN 0.0",
         f"WHEN {a} <= 0.5 THEN -{aconst} * {a}",
     ]
@@ -241,6 +250,23 @@ def diffuse_fraction_simple(k: str, sinalt: str) -> str:
     b1 = f"least(1.0, 1.020 - 0.254 * {k} + 0.0123 * {sinalt})"
     b2 = f"least(0.97, greatest(0.1, 1.400 - 1.749 * {k} + 0.177 * {sinalt}))"
     b3 = f"greatest(0.1, 0.486 * {k} - 0.182 * {sinalt})"
+    return (
+        f"(CASE WHEN {k} > 0.0 AND {k} <= 0.3 THEN {b1} "
+        f"WHEN {k} > 0.3 AND {k} < 0.78 THEN {b2} "
+        f"WHEN {k} >= 0.78 THEN {b3} ELSE 0.0 END)"
+    )
+
+
+def diffuse_fraction_enhanced(k: str, sinalt: str, t_amb_k: str, rh: str) -> str:
+    """Reindl 1990 enhanced split (T + relative humidity terms) —
+    pv/irradiation.py:54-74.  Temperature enters in the reference's
+    native unit (the dataset's Kelvin column is used as-is)."""
+    b1 = f"least(1.0, 1.000 - 0.232 * {k} + 0.0239 * {sinalt} - 0.000682 * {t_amb_k} + 0.0195 * {rh})"
+    b2 = (
+        f"least(0.97, greatest(0.1, "
+        f"1.329 - 1.716 * {k} + 0.267 * {sinalt} - 0.00357 * {t_amb_k} + 0.106 * {rh}))"
+    )
+    b3 = f"greatest(0.1, 0.426 * {k} - 0.256 * {sinalt} + 0.00349 * {t_amb_k} + 0.0734 * {rh})"
     return (
         f"(CASE WHEN {k} > 0.0 AND {k} <= 0.3 THEN {b1} "
         f"WHEN {k} > 0.3 AND {k} < 0.78 THEN {b2} "

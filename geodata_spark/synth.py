@@ -332,6 +332,8 @@ GRID_VARS = {
     "influx": (0.0, 16384, 16.0, 17),
     "ulml": (-20.0, 640, 16.0, 23),          # m/s -20..20 (wind components)
     "vlml": (-20.0, 640, 16.0, 24),
+    "humidity": (0.0, 16, 16.0, 25),         # relative humidity 0..1
+    "outflux": (0.0, 4096, 16.0, 26),        # upward SW for albedo fallback
     "dusmass25": (0.0, 1024, 16384.0, 18),   # kg/m3-ish small
     "sssmass25": (0.0, 1024, 16384.0, 19),
     "bcsmass": (0.0, 512, 16384.0, 20),

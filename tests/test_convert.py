@@ -247,3 +247,131 @@ def test_get_var_prunes(gv):
     df, _ = gv
     out = C.get_var(df, "temperature")
     assert set(out.columns) == {"ts", "hour", "lat", "lon", "temperature"}
+
+
+# ---------------------------------------------------------------------------
+# stability-corrected wind chain (F22-F26) and enhanced clearsky (F13)
+# ---------------------------------------------------------------------------
+
+def np_L_vph(tlml, rhoa, hflux, eflux, ustar):  # wind.py:156-178
+    vonk, grav, CPD, Le, kp, Rd, p0 = 0.4, 9.81, 1004, 2.257e6, 2 / 7, 287, 1e5
+    p = rhoa * Rd * tlml
+    vph = hflux + 0.61 * CPD / Le * tlml * (p0 / p) ** kp * eflux
+    return -(tlml * ustar**3 * CPD * rhoa) / (vonk * grav * vph)
+
+
+def np_psi_linear(z, L):  # wind.py:73-89 (+ engine's L==0 → neutral guard)
+    with np.errstate(divide="ignore"):
+        a = np.where(L == 0, 0.0, z / L)
+    return np.where(a > 0, -5.2 * a, 0.0)
+
+
+def np_psi_linearexp(z, L, const=None):  # wind.py:92-153
+    A, B, C, D, aconst = 1, 2 / 3, 5, 0.35, 5
+    with np.errstate(divide="ignore"):
+        a = np.where(L == 0, 0.0, z / L)
+    expterm = -A * (a + B * (a - C / D) * np.exp(-D * a) + B * C / D)
+    out = np.where(a <= 0, 0.0, np.where(a <= 0.5, -aconst * a, expterm))
+    if const is not None:
+        plateau = -A * (const + B * (const - C / D) * np.exp(-D * const) + B * C / D)
+        out = np.where(a > const, plateau, out)
+    return out
+
+
+@pytest.mark.parametrize(
+    "extrap,psi",
+    [
+        ("log_law_flux_linear", np_psi_linear),
+        ("log_law_flux_linearexp", np_psi_linearexp),
+        ("log_law_flux_linearexpconst", lambda z, L: np_psi_linearexp(z, L, const=7.0)),
+    ],
+)
+def test_windspd_flux_stability(gv, extrap, psi):
+    df, p = gv
+    out = C.windspd(df, 79.0, extrap=extrap, var_height="lml", available_heights=())
+    got = _sorted_col(out, "windspd")
+    L = np_L_vph(
+        p["temperature"].to_numpy(), p["rhoa"].to_numpy(),
+        p["hflux"].to_numpy(), p["eflux"].to_numpy(), p["ustar"].to_numpy(),
+    )
+    want = p["wndlml"].to_numpy() + p["ustar"].to_numpy() / 0.4 * (
+        np.log((79.0 - p["disph"].to_numpy()) / p["hlml"].to_numpy()) - psi(79.0, L)
+    )
+    # rtol 1e-7: psi amplifies ulp-level power()/exp() differences
+    assert np.allclose(got, want, rtol=1e-7)
+
+
+def test_winddir_quadrants(spark):
+    rows = [(1.0, 1.0), (1.0, -1.0), (-1.0, -1.0), (-1.0, 1.0), (0.0, -1.0)]
+    df = spark.createDataFrame(rows, "u double, v double")
+    from geodata_spark import formulas as FM2
+
+    got = [r.d for r in df.select(F.expr(FM2.winddir("u", "v")).alias("d")).collect()]
+    # reference semantics: degrees(atan(u/v)) + quadrant fixups
+    want = []
+    for u, v in rows:
+        d = np.degrees(np.arctan(u / v))
+        if v < 0:
+            d += 180
+        elif v > 0 and u < 0:
+            d += 360
+        want.append(d)
+    assert np.allclose(got, want)
+
+
+def test_enhanced_clearsky_vs_numpy(spark):
+    """Single-influx cutout + temperature + humidity → enhanced Reindl."""
+    from geodata_spark.synth import synth_grid_vars
+
+    df = synth_grid_vars(
+        spark, nhours=24, ny=4, nx=4,
+        variables=("influx", "temperature", "humidity", "albedo", "influx_toa"),
+    )
+    out = C.tilted_irradiation(df, orientation=(30.0, 180.0), clearsky_model="enhanced")
+    got = _sorted_col(out, "irradiation")
+    p = df.toPandas().sort_values(["hour", "lat", "lon"]).reset_index(drop=True)
+    alt, az, g = np_solar_position(
+        p["hour"].to_numpy(float), p["lat"].to_numpy(float), p["lon"].to_numpy(float)
+    )
+    toa = p["influx_toa"].to_numpy(float)
+    influx = np.clip(p["influx"].to_numpy(float), 0, toa)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = influx / toa
+        sinalt = np.sin(alt)
+        T = p["temperature"].to_numpy(float)
+        rh = p["humidity"].to_numpy(float)
+        frac = np.where(
+            (k > 0) & (k <= 0.3),
+            np.fmin(1.0, 1.000 - 0.232 * k + 0.0239 * sinalt - 0.000682 * T + 0.0195 * rh),
+            np.where(
+                (k > 0.3) & (k < 0.78),
+                np.fmin(0.97, np.fmax(0.1, 1.329 - 1.716 * k + 0.267 * sinalt - 0.00357 * T + 0.106 * rh)),
+                np.where(k >= 0.78, np.fmax(0.1, 0.426 * k - 0.256 * sinalt + 0.00349 * T + 0.0734 * rh), 0.0),
+            ),
+        )
+        diffuse = influx * frac
+        direct = influx - diffuse
+        slope = np.deg2rad(30.0)
+        saz = np.deg2rad(180.0)
+        cosinc = np.maximum(0.0, np.sin(slope) * np.cos(alt) * np.cos(saz - az) + np.cos(slope) * np.sin(alt))
+        kk = cosinc / sinalt
+        direct_t = kk * direct
+        albedo = p["albedo"].to_numpy(float)
+        diffuse_t = (1 + np.cos(slope)) / 2 * diffuse + albedo * influx * ((1 - np.cos(slope)) / 2)
+    total = np.nan_to_num(direct_t) + np.nan_to_num(diffuse_t)
+    total = np.where((alt < np.deg2rad(1.0)) | (direct + diffuse <= 0.01), 0.0, total)
+    assert np.allclose(got, total, atol=1e-8)
+
+
+def test_albedo_outflux_fallback(spark):
+    """No albedo column → albedo = min(1, outflux/influx) (irradiation.py:133-145)."""
+    from geodata_spark.synth import synth_grid_vars
+
+    df = synth_grid_vars(
+        spark, nhours=6, ny=2, nx=2,
+        variables=("influx_direct", "influx_diffuse", "influx_toa", "outflux", "temperature"),
+    )
+    out = C.tilted_irradiation(df, orientation=(30.0, 180.0))
+    got = _sorted_col(out, "irradiation")
+    assert np.isfinite(got).all()
+    assert (got >= 0).all()
