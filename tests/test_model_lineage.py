@@ -116,3 +116,45 @@ def test_lineage_resume_after_kill(spark, tmp_path):
     )
     res3 = lineage.run_partitioned(spark, src2, transform, out, "day")
     assert res3["completed"] == ["1"]
+
+
+def test_model_fit_checkpointed_with_lineage(spark, tmp_path):
+    """S12 integration: per-partition model fits committed with lineage,
+    resumable — the analog of the reference's params.nc4 + meta.json
+    hash lineage (model/_base.py:316-343)."""
+    out = str(tmp_path / "params")
+    gv = synth_grid_vars(spark, nhours=4, ny=3, nx=3)
+    long_df = model.melt_heights(
+        gv, [("100.0", "wnd100m"), ("hlml", "wndlml")], keys=["hour", "lat", "lon"]
+    ).withColumn("part", (F.col("hour") % 2).cast("long"))
+
+    def fit(df):
+        return model.fit_loglinear_expr(df.drop("part"), ["hour", "lat", "lon"])
+
+    res = lineage.run_partitioned(spark, long_df, fit, out, "part")
+    assert sorted(res["completed"]) == ["0", "1"]
+    params = lineage.read_output(spark, out, "part")
+    assert params.count() == 4 * 9  # one fit per (hour, cell)
+    assert params.filter(F.col("alpha").isNull()).count() == 0
+    # estimate from checkpointed params (F30)
+    est = model.estimate_loglinear(params, 79.0)
+    assert est.filter(F.col("wnd79m_est").isNull()).count() == 0
+    # resume: nothing recomputes
+    res2 = lineage.run_partitioned(spark, long_df, fit, out, "part")
+    assert res2["completed"] == [] and sorted(res2["skipped"]) == ["0", "1"]
+
+
+def test_cutout_partitioned_write_prunes(spark, tmp_path):
+    """S9/P4: day-partitioned cutout write; a day filter prunes
+    partitions at scan (the Iceberg hidden-partitioning analog)."""
+    from geodata_spark.cutout import Cutout
+
+    p = str(tmp_path / "cut")
+    gv = synth_grid_vars(spark, nhours=48, ny=3, nx=3, variables=("temperature",))
+    co = Cutout(gv.withColumn("day", (F.col("hour") / 24).cast("long")))
+    co.write(p, partition_by=("day",))
+    back = spark.read.parquet(p)
+    sub = back.filter(F.col("day") == 1)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    assert sub.count() == 24 * 9
