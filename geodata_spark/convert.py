@@ -181,7 +181,10 @@ def heat_demand(
     day-bucket key — W1's tumbling window with an offset.  Output is
     one row per (day_idx, lat, lon).
     """
-    shifted_day = ((F.col("hour") + F.lit(int(hour_shift))) / F.lit(24)).cast("long")
+    # floor, not truncate-toward-zero: negative shifted hours (western
+    # timezones near the epoch) must land in day -1, matching the
+    # reference's shift-then-resample('1D') calendar semantics.
+    shifted_day = F.floor((F.col("hour") + F.lit(int(hour_shift))) / F.lit(24)).cast("long")
     daily = (
         df.withColumn("day_idx", shifted_day)
         .groupBy("day_idx", "lat", "lon")

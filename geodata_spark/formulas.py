@@ -157,8 +157,8 @@ def wind_power_density(v_hub: str, rhoa: str = "rhoa") -> str:
 def interp_curve(x: str, xs: list[float], ys: list[float]) -> str:
     """np.interp(x, xs, ys) as a CASE chain (power-curve lookup,
     convert.py:255-277).  Clamps to endpoint values outside [xs0, xsN];
-    at a duplicated x (cut-out discontinuity) takes the earlier segment,
-    matching np.interp's left-side evaluation for interior points.
+    an exact hit on a duplicated x knot (cut-out discontinuity)
+    evaluates to the **later** (right-side) y value, matching np.interp.
     """
     assert len(xs) == len(ys) and len(xs) >= 2
     # strict `<` on segment upper bounds reproduces np.interp exactly:

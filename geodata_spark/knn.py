@@ -34,7 +34,11 @@ def _with_neighbor_cells(df: DataFrame, res: int, lat_col: str, lon_col: str) ->
             for dy, dx in offsets
         ]
     )
-    return df.withColumn("_nbr_cell", F.explode(cellarr))
+    # array_distinct: at domain edges several ring offsets clamp to the
+    # same cell id; deduping the array here (free, in codegen) means a
+    # source row can match a target at most once — no post-join
+    # dropDuplicates shuffle needed.
+    return df.withColumn("_nbr_cell", F.explode(F.array_distinct(cellarr)))
 
 
 def knn_join(
@@ -71,10 +75,11 @@ def knn_join(
     for c in sources.columns:
         s = s.withColumnRenamed(c, f"{c}_src")
     s = s.withColumnRenamed("_nbr_cell_src", "_nbr_cell")
+    # ring cells are distinct (array_distinct above) and each source row
+    # carries exactly one cell id, so a (target, source) pair joins at
+    # most once — no dedupe shuffle, and distinct source rows sharing
+    # coordinates all survive to the ranking window.
     joined = t.join(s, "_nbr_cell").drop("_nbr_cell")
-    # a source point adjacent to several of the 9 cells appears once per
-    # matching ring cell — dedupe by (target, source) before ranking
-    joined = joined.dropDuplicates(target_key + [f"{s_lat}_src", f"{s_lon}_src"])
     dy = F.col(t_lat) - F.col(f"{s_lat}_src")
     dx = F.col(t_lon) - F.col(f"{s_lon}_src")
     dist2 = (dy * dy + dx * dx).alias("knn_dist2")

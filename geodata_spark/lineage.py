@@ -23,21 +23,28 @@ snapshot_id = deterministic fingerprint of (input, partition list).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
 def content_hash_col(df: DataFrame) -> F.Column:
     """Order-independent row-content hash: sum of xxhash64 over all columns.
 
-    Long overflow wraps are fine for fingerprinting — but Spark 4 ANSI
-    mode raises on overflow, so accumulate modulo 2^40 per row first.
+    Accumulated into DECIMAL(38,0) so the *sum* cannot overflow int64
+    either (a per-row ``pmod`` only bounds the addends; at ~2^23 rows per
+    partition an int64 sum would overflow and raise under Spark 4 ANSI
+    mode).  DECIMAL(38,0) holds ~10^38 — safe past 10^19 rows, far above
+    the 10^12-row target.  Sum is commutative → stable across shuffles.
     """
-    return F.sum(F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1 << 40)))
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    return F.sum(h.cast("decimal(38,0)"))
 
 
 def partition_fingerprint(df: DataFrame, partition_col: str) -> dict[str, tuple[int, int]]:
@@ -47,7 +54,7 @@ def partition_fingerprint(df: DataFrame, partition_col: str) -> dict[str, tuple[
         .agg(F.count(F.lit(1)).alias("n"), content_hash_col(df).alias("h"))
         .collect()
     )
-    return {str(r[0]): (r["n"], r["h"]) for r in rows}
+    return {str(r[0]): (r["n"], int(r["h"])) for r in rows}
 
 
 class LineageLog:
@@ -56,6 +63,7 @@ class LineageLog:
 
     def __init__(self, path: str):
         self.path = os.path.join(path, "_lineage.jsonl")
+        self._lock = threading.Lock()
 
     def load(self) -> dict[str, dict]:
         out: dict[str, dict] = {}
@@ -68,9 +76,10 @@ class LineageLog:
         return out
 
     def append(self, rec: dict) -> None:
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        with self._lock:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
 
 def run_partitioned(
@@ -81,50 +90,68 @@ def run_partitioned(
     partition_col: str,
     snapshot_id: str | None = None,
     fail_after: int | None = None,
+    max_workers: int = 4,
 ) -> dict:
     """Process each partition of ``source`` through ``transform``,
     committing per-partition outputs + lineage; resumable.
 
     ``transform``: DataFrame → DataFrame (applied per partition slice).
     ``fail_after``: test hook — raise after N partitions (simulated
-    kill) to exercise resume.
+    kill) to exercise resume (forces sequential execution so the kill
+    point is deterministic).
+    ``max_workers``: independent partitions run as **concurrent Spark
+    jobs** (Spark's scheduler interleaves their stages across executor
+    slots), so 10⁴-10⁵ partitions don't serialize the cluster on the
+    driver loop.  Output row counts come from ``Observation`` metrics
+    collected *during* the write — no second read of the output.
 
     Returns {"completed": [...], "skipped": [...], "snapshot_id": ...}.
     """
     fps = partition_fingerprint(source, partition_col)
     if snapshot_id is None:
+        # Stable across processes: sha256, not Python's salted hash().
         sig = sorted((k, v[0], v[1]) for k, v in fps.items())
-        snapshot_id = f"snap-{abs(hash(json.dumps(sig))) % 10**12:012d}"
+        digest = hashlib.sha256(json.dumps(sig).encode()).hexdigest()[:12]
+        snapshot_id = f"snap-{digest}"
     log = LineageLog(out_path)
     done = log.load()
-    completed, skipped = [], []
-    n_processed = 0
+    completed, skipped, todo = [], [], []
     for part, (n_in, h_in) in sorted(fps.items()):
         rec = done.get(part)
         if rec and rec["input_rows"] == n_in and rec["input_hash"] == h_in:
             skipped.append(part)
-            continue
-        if fail_after is not None and n_processed >= fail_after:
-            raise RuntimeError(f"simulated kill after {fail_after} partitions")
+        else:
+            todo.append((part, n_in, h_in))
+
+    def _process(part: str, n_in: int, h_in: int) -> str:
         t0 = time.time()
         slice_df = source.filter(F.col(partition_col) == part)
         out_df = transform(slice_df)
+        obs = Observation(f"lineage-{part}")
+        out_df = out_df.observe(obs, F.count(F.lit(1)).alias("n_out"))
         part_path = os.path.join(out_path, f"{partition_col}={part}")
         out_df.write.mode("overwrite").parquet(part_path)
-        n_out = spark.read.parquet(part_path).count()
         log.append(
             {
                 "snapshot_id": snapshot_id,
                 "partition": part,
                 "input_rows": n_in,
                 "input_hash": h_in,
-                "output_rows": n_out,
+                "output_rows": obs.get["n_out"],
                 "wall_sec": round(time.time() - t0, 3),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )
-        completed.append(part)
-        n_processed += 1
+        return part
+
+    if fail_after is not None or max_workers <= 1:
+        for i, (part, n_in, h_in) in enumerate(todo):
+            if fail_after is not None and i >= fail_after:
+                raise RuntimeError(f"simulated kill after {fail_after} partitions")
+            completed.append(_process(part, n_in, h_in))
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            completed = list(pool.map(lambda t: _process(*t), todo))
     return {"completed": completed, "skipped": skipped, "snapshot_id": snapshot_id}
 
 

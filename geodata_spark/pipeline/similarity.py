@@ -169,15 +169,22 @@ def ivf_topk(
             F.col(vec_col).alias("cent"),
         )
     )
-    # assignment: best cell per vector (broadcast centroids)
+    # assignment: best cell per vector (broadcast centroids).  max_by in
+    # one hash aggregation — a ranking window here would sort-shuffle all
+    # N×C (vector, centroid) pairs just to keep one row per vector.
+    # Ordering key struct(s, -cell) == (cosine desc, cell asc) tie-break.
     va = vectors.join(F.broadcast(cents))
     sim_vc = cosine(F.col(vec_col), F.col("cent")).alias("s")
-    wv = Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("cell").asc())
     v_assigned = (
         va.select(id_col, vec_col, "cell", sim_vc)
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") == 1)
-        .drop("r", "s")
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("cell"), F.col(vec_col).alias("_vec")),
+                F.struct(F.col("s"), (-F.col("cell")).alias("_negc")),
+            ).alias("_best")
+        )
+        .select(id_col, F.col("_best.cell").alias("cell"), F.col("_best._vec").alias(vec_col))
     )
     qa = queries.join(F.broadcast(cents))
     sim_qc = cosine(F.col(q_vec_col), F.col("cent")).alias("s")

@@ -67,6 +67,7 @@ def zonal_weighted_mean(
     keys: list[str],
     salt_buckets: int | None = None,
     out_col: str = "wavg",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Σ(v·w)/Σ(w) per key group, optionally salted (two-phase).
 
@@ -75,6 +76,13 @@ def zonal_weighted_mean(
     single reducer's share of a hot zone to ~1/S.  Sums are algebraic,
     so both variants produce identical results (bit-identical for
     dyadic inputs).
+
+    The salt is **deterministic**: ``pmod(xxhash64(salt_cols), S)`` over
+    stable row columns (default: every input column).  A nondeterministic
+    salt (e.g. ``monotonically_increasing_id``) would re-bucket rows on a
+    partial stage retry after a shuffle-fetch failure, double-counting or
+    dropping rows downstream — the SPARK-23207 bug class.  Deterministic
+    salting keeps retries idempotent at any scale.
     """
     v, w = F.col(value_col), F.col(weight_col)
     if salt_buckets is None:
@@ -83,8 +91,9 @@ def zonal_weighted_mean(
             F.sum(w).alias("weight_sum"),
             F.count(F.lit(1)).alias("n_points"),
         )
+    scols = salt_cols if salt_cols is not None else df.columns
     salted = df.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in scols]), F.lit(salt_buckets))
     )
     partial = salted.groupBy(*keys, "_salt").agg(
         F.sum(v * w).alias("_vw"),

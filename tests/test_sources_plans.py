@@ -122,3 +122,47 @@ def test_knn_no_cartesian(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan, "kNN must join on cell ring, not cross"
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_salt_is_deterministic(spark):
+    """Same input rows → same salt bucket (retry-idempotent salting);
+    no nondeterministic expressions in the salted plan."""
+    from geodata_spark import zonal
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i), 1.0, i) for i in range(64)],
+        ["zone_id", "val", "w", "row_id"],
+    )
+    out = zonal.zonal_weighted_mean(df, "val", "w", ["zone_id"], salt_buckets=8)
+    plan = _plan(out)
+    assert "monotonically_increasing_id" not in plan
+    # the salt expression is a pure function of row columns: two
+    # independent evaluations bucket identically
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(8))
+    )
+    a = {r["row_id"]: r["_salt"] for r in salted.collect()}
+    b = {r["row_id"]: r["_salt"] for r in salted.orderBy(F.rand(7)).collect()}
+    assert a == b
+    # and the salted aggregate matches the unsalted one exactly
+    plain = zonal.zonal_weighted_mean(df, "val", "w", ["zone_id"]).collect()
+    slt = out.collect()
+    assert {tuple(r) for r in plain} == {tuple(r) for r in slt}
+
+
+def test_knn_ring_join_single_shuffle_no_dedupe(spark):
+    """array_distinct on the ring array removes the post-join
+    dropDuplicates: exactly one aggregation-free exchange pair feeding
+    the join, and duplicate-coordinate source rows all survive."""
+    from geodata_spark import knn
+
+    src = spark.createDataFrame(
+        [(20.0, 74.0, 1.0), (20.0, 74.0, 2.0), (20.5, 74.5, 3.0)],
+        ["lat", "lon", "temperature"],
+    )
+    tgts = spark.createDataFrame([(20.1, 74.1)], ["lat", "lon"])
+    out = knn.knn_join(tgts, src, k=3, res=6)
+    rows = out.collect()
+    assert len(rows) == 3, "both rows at the shared coordinate must survive"
+    vals = sorted(r["temperature_src"] for r in rows)
+    assert vals == [1.0, 2.0, 3.0]
