@@ -939,6 +939,33 @@ GROUP BY GROUPING SETS ((zone_id, day_idx), (zone_id), ())
 
 
 # ---------------------------------------------------------------------------
+# generic relational surface over the shipped TPC-H tables
+# ---------------------------------------------------------------------------
+
+from geodata_spark import tpch as TP  # noqa: E402
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.pricing_summary(spark, sf_dir)
+
+
+def q_tpch_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.revenue_by_nation(spark, sf_dir)
+
+
+def q_tpch_bigjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.lineitem_order_revenue(spark, sf_dir)
+
+
+def q_tpch_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.customers_without_recent_orders(spark, sf_dir)
+
+
+def q_tpch_cust_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.customer_order_stats(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -971,6 +998,11 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "minhash_lsh_dedup": q_minhash_dedup,
     "simhash_neardup": q_simhash_neardup,
+    "tpch_pricing_summary": q_tpch_pricing,
+    "tpch_revenue_nation": q_tpch_revenue_nation,
+    "tpch_bigjoin_revenue": q_tpch_bigjoin,
+    "tpch_cust_no_orders": q_tpch_cust_no_orders,
+    "tpch_cust_order_stats": q_tpch_cust_order_stats,
 }
 
 ORACLES = {
@@ -1003,4 +1035,9 @@ ORACLES = {
     # minhash_lsh_dedup / simhash_neardup: LSH-approximate candidate
     # generation — rows-only driver check; recall vs exact Jaccard is
     # asserted in pytest (tests/test_pipeline.py)
+    "tpch_pricing_summary": TP.pricing_summary_sql(),
+    "tpch_revenue_nation": TP.REVENUE_BY_NATION_SQL,
+    "tpch_bigjoin_revenue": TP.LINEITEM_ORDER_REVENUE_SQL,
+    "tpch_cust_no_orders": TP.customers_without_recent_orders_sql(),
+    "tpch_cust_order_stats": TP.customer_order_stats_sql(),
 }

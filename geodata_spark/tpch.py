@@ -1,0 +1,226 @@
+"""Generic relational surface over the TPC-H-style test tables.
+
+The reference engine has no generic join layer (SURVEY §2.3); this
+module proves the engine's claimed Spark join surface — broadcast hash
+join, big-big sort-merge join, left semi/anti, left outer — against the
+driver-shipped star schema with exact DuckDB oracle twins.
+
+100-TB plan shapes:
+
+- dimension joins (nation, customer) are **broadcast** — no shuffle of
+  the fact table;
+- lineitem ⋈ orders is the big-big pair: shuffled on the join key
+  (sort-merge / AQE-chosen shuffled-hash) — the layout a 1000-executor
+  cluster wants;
+- date filters sit directly on the scan (predicate pushdown into
+  parquet; asserted in tests/test_tpch.py).
+
+Money columns are doubles on an exact cent grid; aggregates convert to
+integer cents (``CAST(ROUND(x*100) AS BIGINT)``) so sums are
+order-independent and bit-identical across engines (no FMA/summation-
+order hazards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col: str) -> F.Column:
+    """Exact integer cents from a cent-grid double."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: single-fact aggregation with pushed filter
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str,
+                    ship_before: str = "2000-01-01") -> DataFrame:
+    """Per (returnflag, linestatus) sums over lineitem shipped before a
+    date.  All-integer outputs: qty, base price cents, discounted price
+    in 1e-4 units, charge in 1e-6 units."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit(ship_before).cast("timestamp")
+    )
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d_pct = F.round(F.col("l_discount") * 100).cast("long")
+    t_pct = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(ep_c).alias("sum_base_c"),
+            F.sum(ep_c * (100 - d_pct)).alias("sum_disc_c4"),
+            F.sum(ep_c * (100 - d_pct) * (100 + t_pct)).alias("sum_charge_c6"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def pricing_summary_sql(ship_before: str = "2000-01-01") -> str:
+    return f"""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS d_pct,
+         CAST(round(l_tax * 100) AS BIGINT) AS t_pct
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{ship_before}'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(ep_c) AS BIGINT) AS sum_base_c,
+       CAST(sum(ep_c * (100 - d_pct)) AS BIGINT) AS sum_disc_c4,
+       CAST(sum(ep_c * (100 - d_pct) * (100 + t_pct)) AS BIGINT) AS sum_charge_c6,
+       count(*) AS n_lines
+FROM li
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue per nation: fact ⋈ broadcast dim ⋈ broadcast dim
+# ---------------------------------------------------------------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation revenue per nation.
+
+    customer (1.5k/sf0.01 — a few MB at any realistic sf) and nation
+    (25 rows) are explicitly broadcast: the orders fact table never
+    shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("revenue_c"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# big-big join: lineitem ⋈ orders (shuffle on orderkey)
+# ---------------------------------------------------------------------------
+
+def lineitem_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority — the big-big pair shuffles on
+    l_orderkey/o_orderkey (sort-merge or AQE shuffled-hash); no side is
+    broadcastable at real scale, so the plan must not broadcast here
+    when statistics say both sides are large."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d_pct = F.round(F.col("l_discount") * 100).cast("long")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(ep_c * (100 - d_pct)).alias("revenue_c4"),
+    )
+
+
+LINEITEM_ORDER_REVENUE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_lines,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# left anti: customers with no recent orders
+# ---------------------------------------------------------------------------
+
+def customers_without_recent_orders(spark: SparkSession, sf_dir: str,
+                                    since: str = "2001-01-01") -> DataFrame:
+    """Customers with no order on/after ``since`` — left ANTI join
+    (Spark's NOT EXISTS physical form; the orders side is aggregated to
+    distinct keys by the join itself, no pre-distinct needed)."""
+    customer = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    )
+    out = customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return out.select("c_custkey", "c_name", "c_mktsegment", cents("c_acctbal").alias("acctbal_c"))
+
+
+def customers_without_recent_orders_sql(since: str = "2001-01-01") -> str:
+    return f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '{since}'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# left outer: per-customer order stats including zero-order customers
+# ---------------------------------------------------------------------------
+
+def customer_order_stats(spark: SparkSession, sf_dir: str,
+                         since: str = "2001-01-01") -> DataFrame:
+    """LEFT OUTER customer ⋈ recent orders, per-customer counts; rows
+    with no match keep NULL order columns → n_orders 0, spend 0."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey", "o_totalprice")
+    joined = customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_outer"
+    )
+    spend_c = F.when(
+        F.col("o_totalprice").isNotNull(), F.round(F.col("o_totalprice") * 100).cast("long")
+    ).otherwise(F.lit(0))
+    return joined.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("o_custkey").alias("n_orders"),  # count skips NULLs
+        F.sum(spend_c).alias("spend_c"),
+    )
+
+
+def customer_order_stats_sql(since: str = "2001-01-01") -> str:
+    return f"""
+SELECT c_custkey, c_mktsegment,
+       count(o_custkey) AS n_orders,
+       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS spend_c
+FROM customer
+LEFT JOIN (SELECT o_custkey, o_totalprice FROM orders
+           WHERE o_orderdate >= TIMESTAMP '{since}') o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""

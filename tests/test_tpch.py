@@ -1,0 +1,77 @@
+"""Relational join surface over the TPC-H tables: plan shapes + semantics.
+
+Value correctness is oracle-checked by the driver (queries tpch_*);
+these tests pin the *plans* — broadcast where a dim is small, shuffle
+join where both sides are big, pushdown of the date filters — because
+those are the properties that survive a 100× scale-up.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geodata_spark import tpch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_revenue_nation_broadcasts_dims(spark):
+    out = tpch.revenue_by_nation(spark, SF_DIR)
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") >= 2, "customer+nation must broadcast"
+    assert "SortMergeJoin" not in plan, "fact table must not shuffle for dim joins"
+
+
+def test_bigjoin_shuffles_when_not_broadcastable(spark):
+    # at test scale AQE would legitimately broadcast the small side; force
+    # the at-scale statistics (broadcast off) and require a shuffle join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = tpch.lineitem_order_revenue(spark, SF_DIR)
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert out.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    out = tpch.pricing_summary(spark, SF_DIR)
+    plan = _plan(out)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], (
+        "shipdate predicate must reach the parquet scan"
+    )
+
+
+def test_anti_join_semantics(spark):
+    out = tpch.customers_without_recent_orders(spark, SF_DIR).collect()
+    custkeys = {r["c_custkey"] for r in out}
+    recent = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    )
+    assert custkeys.isdisjoint({r["o_custkey"] for r in recent})
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert 0 < len(custkeys) < n_cust
+
+
+def test_outer_join_keeps_zero_order_customers(spark):
+    rows = tpch.customer_order_stats(spark, SF_DIR).collect()
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert len(rows) == n_cust, "left outer must keep every customer"
+    zero = [r for r in rows if r["n_orders"] == 0]
+    assert zero and all(r["spend_c"] == 0 for r in zero)
+
+
+@pytest.mark.parametrize("col", ["sum_base_c", "sum_disc_c4", "sum_charge_c6"])
+def test_pricing_sums_are_integers(spark, col):
+    row = tpch.pricing_summary(spark, SF_DIR).agg(F.sum(col).alias("s")).first()
+    assert isinstance(row["s"], int)
