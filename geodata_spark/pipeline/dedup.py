@@ -5,24 +5,63 @@ Scale shapes:
 - **exact** — one hash aggregation on the normalized-text digest.
 - **n-gram Jaccard** — shingle-inverted-index self-join (pairs share
   ≥1 shingle → candidate), then set-overlap ratio; never a cross join.
-- **MinHash+LSH** — K hash-min signature per doc (all Catalyst:
-  ``xxhash64(shingle, seed)`` + ``min`` aggregations), banded into
-  b=16 buckets of r=4; candidate pairs only within a bucket.
-- **SimHash** — 64-bit sign-aggregate of token hashes (Arrow pandas
-  UDF packs bits); near-dups = small Hamming distance.
+  Ultra-frequent shingles are dropped first (``max_shingle_freq``):
+  a shingle appearing in f docs contributes O(f²) candidate pairs, so
+  a handful of stop-shingles ("in the of") would dominate the join at
+  web scale.
+- **MinHash+LSH** — K hash-min signature per doc (all Catalyst
+  expressions: per-seed hash + ``min`` aggregations), banded into
+  b buckets of r rows; candidate pairs only within a bucket.
+- **SimHash** — 64-bit sign-aggregate of token hashes, computed as
+  pure Catalyst sign-sum aggregations (one hash agg, no collect_list,
+  no Python) and bit-packed with literal powers of two.
 - **embedding near-dup** — cosine over candidate pairs from
-  random-hyperplane buckets.
+  random-hyperplane buckets (similarity.py).
+
+Hash modes: ``xxhash64`` (default — cheapest, JVM-native) and
+``md5_60`` — a 60-bit engine-portable hash
+(``hex(md5(x || ':' || seed))[:15]`` → integer) that DuckDB reproduces
+bit-for-bit, making the *entire* LSH pipeline (signatures → bands →
+candidates → verified pairs) SQL-oracle-checkable.  The pipeline shape
+is identical in both modes; only the hash primitive differs.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from geodata_spark.pipeline.text import normalize_sql
+
+
+# ---------------------------------------------------------------------------
+# hash primitives
+# ---------------------------------------------------------------------------
+
+def hash60(col: Column, seed: int, mode: str = "xxhash64") -> Column:
+    """Seeded integer hash of a string column.
+
+    ``xxhash64``: full 64-bit, JVM-native (production default).
+    ``md5_60``: top 60 bits of md5(col || ':' || seed) — identical
+    arithmetic exists in DuckDB (``('0x' || substr(md5(..),1,15))::BIGINT``),
+    so oracle queries are bit-reproducible. Non-negative by construction.
+    """
+    if mode == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if mode == "md5_60":
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", col, F.lit(str(seed)))), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash mode {mode!r}")
+
+
+def hash60_sql(expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`hash60` in ``md5_60`` mode."""
+    return f"CAST(('0x' || substr(md5({expr} || ':{seed}'), 1, 15)) AS BIGINT)"
+
+
+def _hash_bits(mode: str) -> int:
+    return 64 if mode == "xxhash64" else 60
 
 
 # ---------------------------------------------------------------------------
@@ -50,8 +89,15 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ---------------------------------------------------------------------------
 
 def with_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles, one row per (id, shingle)."""
+                  text_col: str = "text",
+                  max_shingle_freq: int | None = None) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle).
+
+    ``max_shingle_freq``: drop shingles appearing in more than this
+    many documents (stop-shingle cap).  The hot set is tiny by
+    definition, so the filter is a broadcast anti-join — no extra
+    shuffle of the shingle table.
+    """
     norm = F.expr(normalize_sql(text_col, "spark"))
     toks = F.split(norm, " ")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
@@ -59,33 +105,42 @@ def with_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
-    return (
+    out = (
         docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
+    if max_shingle_freq is not None:
+        hot = (
+            out.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("shingle")
+        )
+        out = out.join(F.broadcast(hot), "shingle", "left_anti")
+    return out
 
 
-def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold.
-
-    Inverted-index join: candidates must share a shingle, so the join
-    grain is (shingle → doc list), not doc × doc.  Hot shingles
-    amplify candidates — production setups drop ultra-frequent
-    shingles first (stop-shingle filter), exposed via the
-    ``max_shingle_freq`` knob.
-    """
-    sh = with_shingles(docs, n, id_col, text_col)
+def _pair_jaccard(sh: DataFrame, cands: DataFrame | None, threshold: float) -> DataFrame:
+    """Exact shingle Jaccard per pair; pairs restricted to ``cands``
+    when given, else to the inverted-index candidates of ``sh``."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
+    if cands is None:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            cands.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn(
@@ -95,6 +150,21 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_shingle_freq: int | None = 1000) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index join: candidates must share a shingle, so the join
+    grain is (shingle → doc list), not doc × doc.  Jaccard is computed
+    over the **capped** shingle universe (see :func:`with_shingles`);
+    the default cap of 1000 bounds any single shingle's candidate
+    contribution to ~10⁶ pairs regardless of corpus size.
+    """
+    sh = with_shingles(docs, n, id_col, text_col, max_shingle_freq)
+    out = _pair_jaccard(sh, None, threshold)
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
@@ -103,21 +173,35 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame, k: int = 64, n: int = 3,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       hash_mode: str = "xxhash64",
+                       max_shingle_freq: int | None = None) -> DataFrame:
     """K-permutation MinHash signature per doc — pure Catalyst.
 
-    Permutation j ≈ xxhash64(shingle, seed=j); signature[j] = min.
+    Permutation j ≈ hash60(shingle, seed=j); signature[j] = min.
     One explode + one hash aggregation with K min() columns.
     """
-    sh = with_shingles(docs, n, id_col, text_col)
+    sh = with_shingles(docs, n, id_col, text_col, max_shingle_freq)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}") for j in range(k)
+        F.min(hash60(F.col("shingle"), j, hash_mode)).alias(f"h{j}") for j in range(k)
     ]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{j}" for j in range(k)]).alias("signature"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+def _band_bucket(slots: list[Column], hash_mode: str) -> Column:
+    """Bucket id for one band: hash of the band's signature slots.
+
+    md5 of the comma-joined decimal strings in ``md5_60`` mode (string
+    form is engine-portable); xxhash64 of the raw longs otherwise.
+    """
+    if hash_mode == "md5_60":
+        return F.md5(F.concat_ws(",", *[s.cast("string") for s in slots]))
+    return F.xxhash64(*slots).cast("string")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows: int = 4,
+                        hash_mode: str = "xxhash64") -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates."""
     assert bands * rows <= 1024
     banded = signatures.select(
@@ -127,8 +211,9 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows: int = 4) -
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature").getItem(b * rows + r) for r in range(rows)]
+                        _band_bucket(
+                            [F.col("signature").getItem(b * rows + r) for r in range(rows)],
+                            hash_mode,
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -148,30 +233,14 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows: int = 4) -
 
 def minhash_dedup(docs: DataFrame, threshold: float = 0.5, k: int = 64,
                   bands: int = 16, rows: int = 4, n: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  hash_mode: str = "xxhash64",
+                  max_shingle_freq: int | None = None) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold."""
-    sigs = minhash_signatures(docs, k, n, id_col, text_col)
-    cands = lsh_candidate_pairs(sigs, bands, rows)
-    sh = with_shingles(docs, n, id_col, text_col)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    sigs = minhash_signatures(docs, k, n, id_col, text_col, hash_mode, max_shingle_freq)
+    cands = lsh_candidate_pairs(sigs, bands, rows, hash_mode)
+    sh = with_shingles(docs, n, id_col, text_col, max_shingle_freq)
+    return _pair_jaccard(sh, cands, threshold).select("id_a", "id_b", "jaccard")
 
 
 def minhash_jaccard_estimate(signatures: DataFrame, k: int = 64) -> DataFrame:
@@ -192,53 +261,58 @@ def minhash_jaccard_estimate(signatures: DataFrame, k: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# SimHash — pure Catalyst sign-sum aggregation (no collect_list, no UDF)
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf(T.LongType())
-def _pack_simhash(hashes: pd.Series) -> pd.Series:
-    """token-hash array → 64-bit simhash (sign of per-bit vote sum)."""
-    out = np.zeros(len(hashes), dtype=np.int64)
-    for i, arr in enumerate(hashes):
-        if arr is None or len(arr) == 0:
-            continue
-        h = np.asarray(arr, dtype=np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        word = np.uint64(0)
-        for bpos in np.nonzero(votes > 0)[0]:
-            word |= np.uint64(1) << np.uint64(bpos)
-        out[i] = np.int64(word.astype(np.int64))
-    return pd.Series(out)
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            hash_mode: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash per document (token grain, multiplicities count).
 
-
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document (token grain)."""
+    Per-bit votes are plain ``sum(CASE WHEN bit THEN 1 ELSE -1)`` hash
+    aggregations (map-side partials apply — no per-doc token list is
+    ever materialized), then bit-packed by summing distinct powers of
+    two.  Bit 63 in 64-bit mode packs as the int64 sign-bit literal.
+    """
+    nbits = _hash_bits(hash_mode)
     norm = F.expr(normalize_sql(text_col, "spark"))
     toks = F.explode(F.split(norm, " ")).alias("tok")
-    tok_hashes = (
+    th = (
         docs.select(F.col(id_col).alias("id"), toks)
         .filter(F.length("tok") > 0)
-        .select("id", F.xxhash64("tok").alias("h"))
-        .groupBy("id")
-        .agg(F.collect_list("h").alias("hs"))
+        .select("id", hash60(F.col("tok"), 0, hash_mode).alias("h"))
     )
-    return tok_hashes.select("id", _pack_simhash("hs").alias("simhash"))
+    votes = th.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(nbits)
+        ]
+    )
+    terms = []
+    for b in range(nbits):
+        weight = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        terms.append(F.when(F.col(f"v{b}") > 0, weight).otherwise(F.lit(0)))
+    packed = terms[0]
+    for t in terms[1:]:
+        packed = packed + t
+    return votes.select("id", packed.cast("long").alias("simhash"))
 
 
-def hamming64(a: F.Column, b: F.Column) -> F.Column:
+def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 8,
-                          prefix_bits: int = 12, **kw) -> DataFrame:
+                          prefix_bits: int = 12, hash_mode: str = "xxhash64",
+                          **kw) -> DataFrame:
     """Near-dup pairs by SimHash with prefix-bucket candidate pruning.
 
     Multi-probe on 4 rotated prefixes so a ≤max_hamming pair is caught
     unless all its differing bits fall in every probed prefix
     (recall knob; exact variant would use all C(64/k) blocks).
     """
-    sh = simhash(docs, **kw)
+    sh = simhash(docs, hash_mode=hash_mode, **kw)
     probes = []
     for p in range(4):
         rot = F.shiftrightunsigned(F.col("simhash"), p * 16)
@@ -257,7 +331,125 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 8,
     return (
         a.join(b, ["probe", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).cast("long").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (md5_60 mode) — generated to mirror the pipelines
+# ---------------------------------------------------------------------------
+
+def shingles_cte(doc_filter: str = "TRUE", n: int = 3) -> str:
+    """DuckDB CTE body producing ``sh(id, shingle)`` — twin of
+    :func:`with_shingles` (n=3 word shingles over normalized text)."""
+    assert n == 3, "SQL twin is generated for n=3"
+    return f"""
+d AS (
+  SELECT doc_id AS id, {normalize_sql('text', 'duckdb')} AS norm
+  FROM documents WHERE {doc_filter}
+),
+tl AS (
+  SELECT id, string_split(norm, ' ') AS t FROM d
+),
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM tl
+  )
+  WHERE shingle IS NOT NULL
+)"""
+
+
+def minhash_dedup_sql(threshold: float = 0.3, k: int = 64, bands: int = 16,
+                      rows: int = 4, doc_filter: str = "TRUE") -> str:
+    """Full MinHash+LSH+verify pipeline as one DuckDB query (md5_60)."""
+    sig_cols = ",\n         ".join(
+        f"min({hash60_sql('shingle', j)}) AS h{j}" for j in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        slots = " || ',' || ".join(
+            f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band, md5({slots}) AS bucket FROM sig"
+        )
+    banded = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH {shingles_cte(doc_filter)},
+sig AS (
+  SELECT id,
+         {sig_cols}
+  FROM sh GROUP BY id
+),
+banded AS (
+  {banded}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cands c
+  JOIN sh x ON x.id = c.id_a
+  JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {threshold!r}
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 16, prefix_bits: int = 12,
+                      doc_filter: str = "TRUE") -> str:
+    """SimHash near-dup pipeline as one DuckDB query (md5_60, 60 bits)."""
+    nbits = 60
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(nbits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(nbits)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id, {normalize_sql('text', 'duckdb')} AS norm
+  FROM documents WHERE {doc_filter}
+),
+tok AS (
+  SELECT id, unnest(string_split(norm, ' ')) AS tk FROM d
+),
+th AS (
+  SELECT id, {hash60_sql('tk', 0)} AS h FROM tok WHERE length(tk) > 0
+),
+votes AS (
+  SELECT id,
+         {votes}
+  FROM th GROUP BY id
+),
+shh AS (SELECT id, {pack} AS simhash FROM votes),
+probes AS (
+  SELECT id, simhash, p.probe,
+         ((simhash >> (p.probe * 16)) % {1 << prefix_bits}) AS bucket
+  FROM shh, (VALUES (0), (1), (2), (3)) p(probe)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM probes a JOIN probes b ON a.probe = b.probe AND a.bucket = b.bucket
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""

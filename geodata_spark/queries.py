@@ -330,26 +330,65 @@ WHERE lat BETWEEN nz.lat0 AND nz.lat1 AND lon BETWEEN nz.lon0 AND nz.lon1
 
 
 def q_filter_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-component area filter (A6) — iterative; rows-only check
-    (no closed-form SQL oracle; validated against a numpy flood fill in
-    pytest)."""
+    """Connected-component area filter (A6): kept-cell table.
+
+    The Spark side iterates min-label propagation to a fixpoint
+    (masks.filter_area); the DuckDB oracle reaches the same fixpoint
+    with a recursive label-propagation CTE — an exact, hash-checked
+    compare of which cells survive the min_cells threshold."""
     from geodata_spark import masks
 
     stacked = _filtered_mask_layers(spark)
     m_and = masks.merge_layers_and(stacked, n_layers=4)
-    idx = (
-        _filtered_mask_layers(spark)
-        .filter(F.col("layer") == "elevation")
-        .select("cell", "y_idx", "x_idx")
-    )
+    idx = stacked.filter(F.col("layer") == "elevation").select("cell", "y_idx", "x_idx")
     withidx = m_and.join(idx, "cell")
     # the linear-congruential synth yields only 1- and 2-cell regions;
     # threshold 2 keeps the 2-cell pairs (a non-trivial filter result)
     out = masks.filter_area(withidx.select("cell", "y_idx", "x_idx", "value"), min_cells=2)
-    return out.agg(
-        F.sum(F.when(F.col("value") != 0, 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.count(F.lit(1)).cast("long").alias("n_total"),
+    return out.filter(F.col("value") != 0).select(
+        F.col("y_idx").cast("long").alias("y_idx"),
+        F.col("x_idx").cast("long").alias("x_idx"),
+        "value",
     )
+
+
+def _filter_area_sql() -> str:
+    """Recursive connected-components twin: reach = transitive closure
+    of the 4-neighbor relation on nonzero cells (packed key ±1, ±2²⁷ —
+    identical arithmetic to masks.filter_area), label = min reachable
+    key, keep components with ≥ 2 cells."""
+    from geodata_spark import cells as _cells
+
+    y_step = 2**27
+    return f"""
+WITH RECURSIVE {mask_layers_sql_cte()},
+{_mask_filter_sql()},
+agg AS (
+  SELECT cell,
+         CASE WHEN sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END) = 4
+                   AND count(*) = 4 THEN 1.0 ELSE 0.0 END AS and_value
+  FROM filtered
+  GROUP BY cell
+),
+idx AS (SELECT {_cells.cell_sql('lat', 'lon', 9)} AS cell, y, x FROM _mgrid),
+nzc AS (
+  SELECT CAST(y * {y_step} + x AS BIGINT) AS k, y, x
+  FROM idx JOIN agg USING (cell)
+  WHERE and_value <> 0
+),
+reach(k, lbl) AS (
+  SELECT k, k FROM nzc
+  UNION
+  SELECT b.k, r.lbl
+  FROM reach r JOIN nzc b
+    ON b.k IN (r.k + 1, r.k - 1, r.k + {y_step}, r.k - {y_step})
+),
+labels AS (SELECT k, min(lbl) AS lbl FROM reach GROUP BY k),
+sizes AS (SELECT lbl, count(*) AS n FROM labels GROUP BY lbl),
+kept AS (SELECT k FROM labels JOIN sizes USING (lbl) WHERE n >= 2)
+SELECT CAST(n.y AS BIGINT) AS y_idx, CAST(n.x AS BIGINT) AS x_idx, 1.0 AS value
+FROM nzc n JOIN kept ON kept.k = n.k
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -816,22 +855,20 @@ SELECT query_id, rank, vec_id, cosine_r6 FROM ranked WHERE rank <= 5
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH(16x4) near-dup pairs verified at Jaccard ≥ 0.3 —
-    approximate candidate generation; rows-only driver check (recall
-    vs exact Jaccard asserted in pytest)."""
+    """MinHash(64)+LSH(16x4) near-dup pairs verified at Jaccard ≥ 0.3.
+
+    md5_60 hash mode makes the whole pipeline — signatures, banding,
+    bucket candidates, exact-Jaccard verification — bit-reproducible in
+    DuckDB, so the driver hash-checks the full pair list (not a count).
+    """
     docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
-    out = DD.minhash_dedup(docs, threshold=0.3)
-    return out.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.round(F.sum("jaccard"), 6).alias("jaccard_sum"),
-    )
+    return DD.minhash_dedup(docs, threshold=0.3, hash_mode="md5_60")
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pair count (rows-only; properties in pytest)."""
+    """SimHash near-dup pairs (full list, md5_60 → exact DuckDB twin)."""
     docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
-    out = DD.simhash_neardup_pairs(docs, max_hamming=16)
-    return out.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return DD.simhash_neardup_pairs(docs, max_hamming=16, hash_mode="md5_60")
 
 
 # ---------------------------------------------------------------------------
@@ -1012,7 +1049,7 @@ ORACLES = {
     "zone_cover": _ZONE_COVER_SQL,
     "mask_merge": _MASK_MERGE_SQL,
     "mask_trim": _MASK_TRIM_SQL,
-    # filter_area_cc: iterative — rows-only check by design
+    "filter_area_cc": _filter_area_sql(),
     "heat_demand": _HEAT_DEMAND_SQL,
     "windwpd_cellsum": _WINDWPD_SQL,
     "wind_power_curve": _wind_power_sql(),
@@ -1032,9 +1069,8 @@ ORACLES = {
     "exact_dedup": _EXACT_DEDUP_SQL,
     "jaccard_pairs": _JACCARD_SQL,
     "ann_brute_topk": _ANN_SQL,
-    # minhash_lsh_dedup / simhash_neardup: LSH-approximate candidate
-    # generation — rows-only driver check; recall vs exact Jaccard is
-    # asserted in pytest (tests/test_pipeline.py)
+    "minhash_lsh_dedup": DD.minhash_dedup_sql(threshold=0.3),
+    "simhash_neardup": DD.simhash_pairs_sql(max_hamming=16),
     "tpch_pricing_summary": TP.pricing_summary_sql(),
     "tpch_revenue_nation": TP.REVENUE_BY_NATION_SQL,
     "tpch_bigjoin_revenue": TP.LINEITEM_ORDER_REVENUE_SQL,

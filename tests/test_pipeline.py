@@ -206,3 +206,50 @@ def test_multimodal_plumbing(spark):
     # the real-codec entry point is present and explicit about its stub
     with pytest.raises(NotImplementedError):
         MM.decode_stub(b"xx")
+
+
+def test_shingle_freq_cap_bounds_candidates(spark):
+    """A planted hot shingle shared by every doc must not create O(n²)
+    candidate pairs once the cap filters it."""
+    hot = "aaa bbb ccc"  # one 3-shingle present in every doc
+    rows = [(i, f"{hot} unique{i} token{i} word{i} tail{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = DD.jaccard_pairs(df, threshold=0.0, max_shingle_freq=None)
+    capped = DD.jaccard_pairs(df, threshold=0.0, max_shingle_freq=10)
+    assert uncapped.count() == 30 * 29 // 2  # hot shingle links every pair
+    assert capped.count() == 0  # only the hot shingle linked them
+    # shingle table itself shrinks by exactly the hot rows
+    n_raw = DD.with_shingles(df).count()
+    n_cap = DD.with_shingles(df, max_shingle_freq=10).count()
+    assert n_raw - n_cap == 30
+
+
+def test_simhash_is_pure_catalyst(spark):
+    """SimHash must stay JVM-side: no Python eval, no collect_list."""
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    out = DD.simhash(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "collect_list" not in plan
+
+
+def test_simhash_md5_mode_matches_python(spark):
+    """md5_60 simhash equals an independent Python recomputation."""
+    import hashlib
+
+    rows = [(1, "the quick brown fox"), (2, "lorem ipsum dolor sit amet")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.simhash for r in DD.simhash(df, hash_mode="md5_60").collect()}
+
+    def h60(s):
+        return int(hashlib.md5(f"{s}:0".encode()).hexdigest()[:15], 16)
+
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        votes = [0] * 60
+        for t in toks:
+            h = h60(t)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        want = sum(1 << b for b in range(60) if votes[b] > 0)
+        assert got[doc_id] == want
