@@ -249,7 +249,11 @@ def tilted_irradiation(
         diffuse = FM.clip_influx("influx_diffuse", f"(sp_toa - {direct})")
     elif "influx" in df.columns:
         influx = FM.clip_influx("influx", "sp_toa")
-        k = f"(({influx}) / sp_toa)"
+        # nullif: TOA insolation is exactly 0 every night; a bare
+        # division would abort the job under Spark ANSI mode.  NULL
+        # clearness falls through every Reindl CASE branch → fraction
+        # 0 → direct = diffuse = 0, identically in both engines.
+        k = f"(({influx}) / nullif(sp_toa, 0.0))"
         if clearsky_model is None:
             clearsky_model = (
                 "enhanced"
@@ -273,7 +277,10 @@ def tilted_irradiation(
     if "albedo" in df.columns:
         albedo = "albedo"
     elif "outflux" in df.columns:
-        albedo = "least(1.0, outflux / (irr_direct + irr_diffuse))"
+        # nullif: zero influx at night → NULL ratio (not an ANSI
+        # abort); least() skips NULLs in both engines → albedo 1.0,
+        # multiplied into a zero ground term.
+        albedo = "least(1.0, outflux / nullif(irr_direct + irr_diffuse, 0.0))"
     else:
         albedo = "0.0"
     if trigon_model == "simple":

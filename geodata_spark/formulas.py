@@ -92,9 +92,13 @@ def obukhov_length_vph(tlml: str = "temperature", rhoa: str = "rhoa",
         f"({hflux} + 0.61 * {CPD} / {Le!r} * {tlml} * "
         f"power({p0!r} / {p}, {kp!r}) * {eflux})"
     )
+    # nullif: a (rare but possible) exactly-zero virtual heat flux must
+    # yield NULL, not a DIVIDE_BY_ZERO job abort under Spark ANSI mode;
+    # downstream psi CASEs treat NULL L as neutral/NULL consistently in
+    # both engines.
     return (
         f"(-({tlml} * power({ustar}, 3.0) * {CPD} * {rhoa}) / "
-        f"({VONK!r} * {grav!r} * {vph}))"
+        f"nullif({VONK!r} * {grav!r} * {vph}, 0.0))"
     )
 
 
@@ -192,7 +196,10 @@ def solar_position(hour: str = "hour", lat: str = "lat", lon: str = "lon",
     Returns dict of named sub-expressions; callers materialize the
     shared ones as columns to keep the expression tree small.
     """
-    n = f"({EPOCH_N0!r} + ({hour}) / 24.0)"
+    # CAST: without it Spark types `bigint_hour / 24.0` as DECIMAL
+    # division (scale 6) while DuckDB computes full DOUBLE — a 3e-7
+    # divergence in n that propagates through every trig term.
+    n = f"({EPOCH_N0!r} + CAST({hour} AS DOUBLE) / 24.0)"
     L = f"(280.460 + 0.9856474 * {n})"
     g = f"(radians(357.528 + 0.9856003 * {n}))"
     ell = f"(radians({L} + 1.915 * sin({g}) + 0.020 * sin(2 * {g})))"
@@ -281,8 +288,12 @@ def tilted_irradiation_simple(direct: str, diffuse: str, cosinc: str, alt: str,
     direct_t = (cosinc/sin(alt))·direct;
     diffuse_t = (1+cos(slope))/2·diffuse + albedo·influx·(1−cos(slope))/2;
     NaNs (sun below horizon → 0/0) → 0 per the reference fillna.
+
+    sin(alt) = 0 exactly (sun precisely on the horizon) divides by
+    zero → nullif keeps it NULL in both engines instead of an ANSI
+    abort; the low-sun suppression zeroes those rows anyway.
     """
-    k = f"(({cosinc}) / sin({alt}))"
+    k = f"(({cosinc}) / nullif(sin({alt}), 0.0))"
     direct_t = f"({k} * ({direct}))"
     influx = f"(({direct}) + ({diffuse}))"
     diffuse_t = (
@@ -299,10 +310,13 @@ def tilted_irradiation_hay_davies(direct: str, diffuse: str, toa: str,
                                   albedo: str) -> str:
     """Hay-Davies anisotropic model — pv/irradiation.py:85-130, 148-151."""
     influx = f"(({direct}) + ({diffuse}))"
-    fraw = f"(sqrt(({direct}) / {influx}))"
+    # nullif guards (night rows: influx = toa = 0): NULL flows through
+    # identically in Spark (ANSI) and DuckDB, and the low-sun
+    # suppression zeroes those rows downstream.
+    fraw = f"(sqrt(({direct}) / nullif({influx}, 0.0)))"
     f = f"(CASE WHEN isnan({fraw}) OR {influx} = 0 THEN 0.0 ELSE {fraw} END)"
-    A = f"(({direct}) / ({toa}))"
-    rb = f"(({cosinc}) / sin({alt}))"
+    A = f"(({direct}) / nullif({toa}, 0.0))"
+    rb = f"(({cosinc}) / nullif(sin({alt}), 0.0))"
     s3 = f"power(sin(({slope}) / 2.0), 3.0)"
     dt_raw = (
         f"(((1.0 - {A}) * ((1 + cos({slope})) / 2.0) * (1.0 + {f} * {s3}) "

@@ -1003,6 +1003,288 @@ def q_tpch_cust_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# physics chains previously pytest-only — oracle pairing (VERDICT r1 §6)
+# ---------------------------------------------------------------------------
+
+def q_pm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — PM2.5 surface concentration (convert.py:331-357).
+
+    Compared at spacing 100 (round -2): the synthetic masses put pm25
+    at ~1e8, and DuckDB may fuse the mul-add chain into FMA (one ulp ≈
+    3e-8 absolute here); spacing 100 keeps ~6 significant digits while
+    sitting six orders above that divergence.
+    """
+    from geodata_spark import convert as C
+
+    out = C.pm25(_gv(spark))
+    return out.select("hour", "lat", "lon", F.round("pm25", -2).alias("pm25_r"))
+
+
+_PM25_SQL = f"""
+WITH {_GV_CTE}
+SELECT hour, lat, lon, round({FM.pm25()}, -2) AS pm25_r FROM gridv
+"""
+
+_FLUX_MODES = [
+    ("log_law", "ws_loglaw"),
+    ("log_law_flux_linear", "ws_lin"),
+    ("log_law_flux_linearexp", "ws_lexp"),
+    ("log_law_flux_linearexpconst", "ws_lexpc"),
+]
+
+
+def q_windspd_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22-F27 — log-law + all three flux-stability extrapolation modes
+    to 120 m from the variable model level (wndlml @ hlml), in one scan
+    (wind.py:55-227).  5 dp: the exp/ln/power chains differ by ulps
+    across engines."""
+    from geodata_spark import convert as C
+
+    out = _gv(spark)
+    for mode, col in _FLUX_MODES:
+        out = C.windspd(out, 120.0, out=col, extrap=mode, var_height="lml")
+    return out.select(
+        "hour", "lat", "lon",
+        *[F.round(c, 5).alias(f"{c}_r5") for _, c in _FLUX_MODES],
+    )
+
+
+def _windspd_flux_sql() -> str:
+    from geodata_spark import convert as C
+
+    cols = ",\n       ".join(
+        f"round({C.extrapolate_wind_speed_sql(120.0, extrap=m, var_height='lml')}, 5) AS {c}_r5"
+        for m, c in _FLUX_MODES
+    )
+    return f"""
+WITH {_GV_CTE}
+SELECT hour, lat, lon,
+       {cols}
+FROM gridv
+"""
+
+
+_PV_SPLIT_VARS = ("temperature", "influx", "influx_toa", "albedo")
+
+
+def q_pv_huld_haydavies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F14/F19 — PV chain through the Reindl simple clearsky split
+    (single ``influx`` input, so the split actually executes —
+    pv/irradiation.py:46-53), Hay-Davies anisotropic tilted diffuse
+    (irradiation.py:85-130), Huld panel (solar_panel_model.py:30-61).
+    Daily per-cell min/max at 3 dp + producing-hours count."""
+    from geodata_spark import convert as C
+
+    gv = synth_grid_vars(spark, variables=_PV_SPLIT_VARS, **_GV_DIMS)
+    out = C.pv(gv, C.PANEL_HULD_CSI, orientation=(30.0, 180.0),
+               trigon_model="hay_davies", clearsky_model="simple")
+    return (
+        out.withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("long"))
+        .groupBy("day_idx", "lat", "lon")
+        .agg(
+            F.round(F.min("pv"), 3).alias("pv_min"),
+            F.round(F.max("pv"), 3).alias("pv_max"),
+            F.sum(F.when(F.col("pv") > 0, 1).otherwise(0)).cast("long").alias("pv_hours"),
+        )
+    )
+
+
+def _pv_huld_sql() -> str:
+    from geodata_spark import convert as C
+
+    cte = grid_vars_sql_cte(variables=_PV_SPLIT_VARS, **_GV_DIMS)
+    sp = FM.solar_position(influx_toa="influx_toa")
+    cosinc = FM.cosincidence("so_slope", "so_az", "sp_alt", "sp_az")
+    influx_c = FM.clip_influx("influx", "sp_toa")
+    k = f"(({influx_c}) / nullif(sp_toa, 0.0))"
+    frac = FM.diffuse_fraction_simple(k, "sin(sp_alt)")
+    diffuse = f"(({influx_c}) * {frac})"
+    direct = f"(({influx_c}) - {diffuse})"
+    total = FM.tilted_irradiation_hay_davies(
+        "irr_direct", "irr_diffuse", "sp_toa", "so_cosinc", "sp_alt", "so_slope", "albedo"
+    )
+    total = FM.suppress_low_sun(total, "sp_alt", "irr_direct", "irr_diffuse")
+    pv = FM.power_huld("irr", "temperature", C.PANEL_HULD_CSI)
+    # staged CTEs mirror the Spark side's column materialization and
+    # keep the SQL text small (the Huld polynomial references irr six
+    # times; textual expansion would be megabytes).
+    return f"""
+WITH {cte},
+s1 AS (
+  SELECT hour, lat, lon, temperature, influx, albedo,
+         {sp['altitude']} AS sp_alt, {sp['azimuth']} AS sp_az,
+         influx_toa AS sp_toa
+  FROM gridv
+),
+s2 AS (SELECT *, radians(30.0) AS so_slope, radians(180.0) AS so_az FROM s1),
+s3 AS (SELECT *, {cosinc} AS so_cosinc FROM s2),
+s4 AS (SELECT *, {direct} AS irr_direct, {diffuse} AS irr_diffuse FROM s3),
+s5 AS (SELECT *, {total} AS irr FROM s4),
+s6 AS (SELECT hour, lat, lon, {pv} AS pv FROM s5)
+SELECT CAST(hour // 24 AS BIGINT) AS day_idx, lat, lon,
+       round(min(pv), 3) AS pv_min, round(max(pv), 3) AS pv_max,
+       CAST(sum(CASE WHEN pv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pv_hours
+FROM s6 GROUP BY 1, 2, 3
+"""
+
+
+_IRR_ENH_VARS = ("temperature", "humidity", "influx", "influx_toa", "outflux")
+
+
+def q_irr_enhanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 (enhanced) / F17 / F18 — tilted irradiation through the
+    Reindl *enhanced* clearsky split (temperature + humidity terms,
+    pv/irradiation.py:54-74) with the outflux/influx albedo fallback
+    (irradiation.py:133-145), latitude-optimal tilt, simple trigon."""
+    from geodata_spark import convert as C
+
+    gv = synth_grid_vars(spark, variables=_IRR_ENH_VARS, **_GV_DIMS)
+    out = C.tilted_irradiation(
+        gv, orientation="latitude_optimal", trigon_model="simple",
+        clearsky_model="enhanced", out="irr",
+    )
+    return (
+        out.withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("long"))
+        .groupBy("day_idx", "lat", "lon")
+        .agg(
+            F.round(F.min("irr"), 3).alias("irr_min"),
+            F.round(F.max("irr"), 3).alias("irr_max"),
+            F.sum(F.when(F.col("irr") > 1.0, 1).otherwise(0)).cast("long").alias("irr_hours"),
+        )
+    )
+
+
+def _irr_enhanced_sql() -> str:
+    cte = grid_vars_sql_cte(variables=_IRR_ENH_VARS, **_GV_DIMS)
+    sp = FM.solar_position(influx_toa="influx_toa")
+    slope = FM.latitude_optimal_slope()
+    cosinc = FM.cosincidence("so_slope", "so_az", "sp_alt", "sp_az")
+    influx_c = FM.clip_influx("influx", "sp_toa")
+    k = f"(({influx_c}) / nullif(sp_toa, 0.0))"
+    frac = FM.diffuse_fraction_enhanced(k, "sin(sp_alt)", "temperature", "humidity")
+    diffuse = f"(({influx_c}) * {frac})"
+    direct = f"(({influx_c}) - {diffuse})"
+    albedo = "least(1.0, outflux / nullif(irr_direct + irr_diffuse, 0.0))"
+    total = FM.tilted_irradiation_simple(
+        "irr_direct", "irr_diffuse", "so_cosinc", "sp_alt", "so_slope", albedo
+    )
+    total = FM.suppress_low_sun(total, "sp_alt", "irr_direct", "irr_diffuse")
+    return f"""
+WITH {cte},
+s1 AS (
+  SELECT hour, lat, lon, temperature, humidity, influx, outflux,
+         {sp['altitude']} AS sp_alt, {sp['azimuth']} AS sp_az,
+         influx_toa AS sp_toa
+  FROM gridv
+),
+s2 AS (SELECT *, {slope} AS so_slope, radians(180.0) AS so_az FROM s1),
+s3 AS (SELECT *, {cosinc} AS so_cosinc FROM s2),
+s4 AS (SELECT *, {direct} AS irr_direct, {diffuse} AS irr_diffuse FROM s3),
+s5 AS (SELECT hour, lat, lon, {total} AS irr FROM s4)
+SELECT CAST(hour // 24 AS BIGINT) AS day_idx, lat, lon,
+       round(min(irr), 3) AS irr_min, round(max(irr), 3) AS irr_max,
+       CAST(sum(CASE WHEN irr > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS irr_hours
+FROM s5 GROUP BY 1, 2, 3
+"""
+
+
+def q_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/F30 — per-cell log-height wind regression, closed-form normal
+    equations as one hash aggregation (model.py:47; reference
+    model/wind/extrapolate.py:38-66).  Heights: the variable model
+    level (hlml), 100 m, and a log-ratio-derived 50 m sample; keys
+    (lat, lon, day) → n = 72 points per fit.  alpha/beta at 4 dp, rms
+    at 3 dp (group sums are order-sensitive at ~1e-10)."""
+    from geodata_spark import model as M
+
+    gv = _gv(spark).withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("long"))
+    pairs = [
+        ("hlml", "wndlml"),
+        ("100.0", "wnd100m"),
+        ("50.0", FM.log_ratio("wnd100m", "50.0", "100.0")),
+    ]
+    long = M.melt_heights(gv, pairs, keys=["lat", "lon", "day_idx"])
+    fit = M.fit_loglinear_expr(long, ["lat", "lon", "day_idx"])
+    return fit.select(
+        "lat", "lon", "day_idx",
+        F.round("alpha", 4).alias("alpha_r4"),
+        F.round("beta", 4).alias("beta_r4"),
+        F.round("rms", 3).alias("rms_r3"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _model_fit_sql() -> str:
+    lr = FM.log_ratio("wnd100m", "50.0", "100.0")
+    return f"""
+WITH {_GV_CTE},
+long AS (
+  SELECT lat, lon, hour // 24 AS day_idx,
+         CAST(hlml AS DOUBLE) AS height, CAST(wndlml AS DOUBLE) AS speed FROM gridv
+  UNION ALL
+  SELECT lat, lon, hour // 24, CAST(100.0 AS DOUBLE), CAST(wnd100m AS DOUBLE) FROM gridv
+  UNION ALL
+  SELECT lat, lon, hour // 24, CAST(50.0 AS DOUBLE), CAST({lr} AS DOUBLE) FROM gridv
+),
+agg AS (
+  SELECT lat, lon, day_idx, count(*) AS n,
+         sum(ln(height)) AS sx, sum(speed) AS sy,
+         sum(ln(height) * speed) AS sxy,
+         sum(ln(height) * ln(height)) AS sxx,
+         sum(speed * speed) AS syy
+  FROM long GROUP BY 1, 2, 3
+),
+fit1 AS (
+  SELECT *,
+         CASE WHEN (sxx - sx * sx / n) <> 0
+              THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+              ELSE 0.0 END AS alpha
+  FROM agg
+),
+fit2 AS (SELECT *, sy / n - alpha * sx / n AS beta FROM fit1),
+fit3 AS (
+  SELECT lat, lon, day_idx, n, alpha, beta,
+         sqrt(greatest(
+           syy + alpha * alpha * sxx + n * beta * beta
+               - 2 * alpha * sxy - 2 * beta * sy + 2 * alpha * beta * sx,
+           0.0) / n) AS rms
+  FROM fit2
+)
+SELECT lat, lon, day_idx,
+       round(alpha, 4) AS alpha_r4, round(beta, 4) AS beta_r4,
+       round(rms, 3) AS rms_r3, CAST(n AS BIGINT) AS n
+FROM fit3
+"""
+
+
+def q_cell_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — exact spherical cell area in km² (zonal.py:26; reference
+    add_grid_area cutout.py:394-438), 6 dp (sin differs by ulps)."""
+    from geodata_spark.synth import DLAT, DLON
+
+    gv = _gv(spark).filter(F.col("hour") == 0).select("lat").distinct()
+    return gv.select(
+        "lat",
+        F.round(zonal.grid_area_expr(F.col("lat"), DLAT, DLON), 6).alias("area_km2_r6"),
+    )
+
+
+def _cell_area_sql() -> str:
+    import math
+
+    from geodata_spark.synth import DLAT, DLON
+
+    coef = zonal.EARTH_R_KM * zonal.EARTH_R_KM * math.radians(DLON)
+    half = math.radians(DLAT / 2.0)
+    return f"""
+WITH {_GV_CTE}
+SELECT DISTINCT lat,
+       round({coef!r} * (sin(radians(lat) + {half!r}) - sin(radians(lat) - {half!r})), 6) AS area_km2_r6
+FROM gridv WHERE hour = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1040,6 +1322,12 @@ QUERIES = {
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "tpch_cust_order_stats": q_tpch_cust_order_stats,
+    "pm25": q_pm25,
+    "windspd_flux": q_windspd_flux,
+    "pv_huld_haydavies": q_pv_huld_haydavies,
+    "irr_enhanced_clearsky": q_irr_enhanced,
+    "model_fit_loglinear": q_model_fit,
+    "cell_area": q_cell_area,
 }
 
 ORACLES = {
@@ -1076,4 +1364,10 @@ ORACLES = {
     "tpch_bigjoin_revenue": TP.LINEITEM_ORDER_REVENUE_SQL,
     "tpch_cust_no_orders": TP.customers_without_recent_orders_sql(),
     "tpch_cust_order_stats": TP.customer_order_stats_sql(),
+    "pm25": _PM25_SQL,
+    "windspd_flux": _windspd_flux_sql(),
+    "pv_huld_haydavies": _pv_huld_sql(),
+    "irr_enhanced_clearsky": _irr_enhanced_sql(),
+    "model_fit_loglinear": _model_fit_sql(),
+    "cell_area": _cell_area_sql(),
 }

@@ -375,3 +375,28 @@ def test_albedo_outflux_fallback(spark):
     got = _sorted_col(out, "irradiation")
     assert np.isfinite(got).all()
     assert (got >= 0).all()
+
+
+def test_night_rows_toa_zero_ansi_safe(spark):
+    """TOA insolation is exactly 0 every night; the Reindl clearness
+    division and the outflux albedo fallback must not raise
+    DIVIDE_BY_ZERO under Spark ANSI mode, and night irradiation must
+    be exactly 0 (suppress guard)."""
+    rows = [
+        # hour, lat, lon, temperature, humidity, influx, influx_toa, outflux
+        (12, 20.0, 75.0, 290.0, 0.5, 0.0, 0.0, 0.0),     # night: toa = 0
+        (13, 20.0, 75.0, 290.0, 0.5, 300.0, 0.0, 50.0),  # sensor glitch: influx > toa = 0
+        (14, 20.0, 75.0, 290.0, 0.5, 300.0, 800.0, 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "hour long, lat double, lon double, temperature double, humidity double, "
+        "influx double, influx_toa double, outflux double",
+    )
+    for model in ("simple", "enhanced"):
+        out = C.tilted_irradiation(
+            df, orientation=(30.0, 180.0), clearsky_model=model, out="irr"
+        ).select("hour", "irr").orderBy("hour").collect()
+        got = {r["hour"]: r["irr"] for r in out}
+        assert got[12] == 0.0 and got[13] == 0.0  # zero influx_c → suppressed
+        assert got[14] is not None and got[14] >= 0.0
