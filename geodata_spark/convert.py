@@ -142,8 +142,15 @@ def windspd(df: DataFrame, hub_height: float, out: str = "windspd", **kw) -> Dat
     return df.withColumn(out, F.expr(extrapolate_wind_speed_sql(hub_height, **kw)))
 
 
-def wind(df: DataFrame, turbine: dict, out: str = "wind", **kw) -> DataFrame:
-    """convert_wind (convert.py:255-277): power curve at hub height, per-unit."""
+def wind(df: DataFrame, turbine: dict | str, out: str = "wind", **kw) -> DataFrame:
+    """convert_wind (convert.py:255-277): power curve at hub height, per-unit.
+
+    ``turbine`` may be a config name from the bundled resource library
+    (resource.py; reference resource.py:35-43) or a curve dict.
+    """
+    from geodata_spark.resource import get_windturbineconfig
+
+    turbine = get_windturbineconfig(turbine)
     hub = extrapolate_wind_speed_sql(turbine["hub_height"], **kw)
     pow_per_unit = [p / turbine["P"] for p in turbine["POW"]]
     return df.withColumn(out, F.expr(FM.interp_curve(hub, list(turbine["V"]), pow_per_unit)))
@@ -297,14 +304,18 @@ def tilted_irradiation(
 
 def pv(
     df: DataFrame,
-    panel: dict = PANEL_KANEKA,
+    panel: dict | str = PANEL_KANEKA,
     orientation="latitude_optimal",
     trigon_model: str = "simple",
     clearsky_model: str = "simple",
     out: str = "pv",
 ) -> DataFrame:
     """convert_pv (convert.py:238-249): position ∘ orientation ∘
-    irradiation ∘ panel model."""
+    irradiation ∘ panel model.  ``panel`` may be a resource-library
+    name (resource.py) or a coefficient dict."""
+    from geodata_spark.resource import get_solarpanelconfig
+
+    panel = get_solarpanelconfig(panel)
     df = tilted_irradiation(df, orientation, trigon_model, clearsky_model, out="_irr")
     if panel.get("model", "huld") == "huld":
         expr = FM.power_huld("_irr", "temperature", panel)

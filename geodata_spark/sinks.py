@@ -1,0 +1,113 @@
+"""Table sinks — Iceberg when a catalog is configured, parquet fallback.
+
+The deploy story (SURVEY §7, north_rule) names Iceberg as the cutout /
+prepared-table format: snapshot isolation for concurrent writers,
+hidden partitioning, and metadata-level file pruning at 100 TB.  The
+sandbox image carries no Iceberg runtime jars, so the sink is gated on
+an actually-configured Iceberg catalog (``spark.sql.catalog.<name>``)
+and otherwise degrades to the same partitioned-parquet layout the rest
+of the engine reads — identical rows, identical partition columns, so
+a later migration is a metadata import (``add_files``), not a rewrite.
+
+Replaces nothing in the reference (its sink is a local netCDF tree,
+``src/geodata/dataset.py`` + ``cutout.py`` per-month files); this is
+the Spark-native equivalent of that persistence layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_catalog(spark: SparkSession, catalog: str | None = None) -> str | None:
+    """Name of a configured Iceberg catalog, or None.
+
+    A catalog counts as configured when ``spark.sql.catalog.<name>``
+    is set to an Iceberg SparkCatalog implementation AND the class is
+    actually loadable (jars present) — config alone would fail at
+    write time with a ClassNotFoundException mid-job.
+    """
+    candidates = [catalog] if catalog else []
+    if not candidates:
+        # scan session conf for declared catalogs
+        try:
+            items = spark.sparkContext.getConf().getAll()
+        except Exception:  # pragma: no cover - connect-only sessions
+            items = []
+        candidates = [
+            k.split(".", 3)[3]
+            for k, v in items
+            if k.startswith("spark.sql.catalog.") and k.count(".") == 3
+            and "iceberg" in v.lower()
+        ]
+    for name in candidates:
+        impl = spark.conf.get(f"spark.sql.catalog.{name}", None)
+        if not impl or "iceberg" not in impl.lower():
+            continue
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(impl)  # noqa: SLF001
+            return name
+        except Exception:
+            continue
+    return None
+
+
+def write_table(
+    df: DataFrame,
+    table: str,
+    path: str | None = None,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    catalog: str | None = None,
+) -> dict:
+    """Write ``df`` as ``table`` — Iceberg ``writeTo`` when available.
+
+    - Iceberg path: ``createOrReplace`` (overwrite) or ``append`` via
+      the DataFrameWriterV2 API with identity ``partitionedBy``.
+    - Fallback: partitioned parquet at ``path`` (required then), the
+      layout every reader in this repo already consumes.
+
+    Returns a descriptor of what was written (sink kind + location),
+    so lineage records (lineage.py) capture the physical target.
+    """
+    cat = iceberg_catalog(df.sparkSession, catalog)
+    if cat is not None:
+        target = f"{cat}.{table}"
+        writer = df.writeTo(target).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            # append to an existing table; create it on first write
+            try:
+                writer.append()
+            except Exception:
+                writer.create()
+        else:
+            writer.createOrReplace()
+        return {"sink": "iceberg", "table": target, "partition_by": list(partition_by)}
+    if path is None:
+        raise ValueError(
+            "no Iceberg catalog configured and no fallback path given"
+        )
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return {"sink": "parquet", "path": path, "partition_by": list(partition_by)}
+
+
+def read_table(
+    spark: SparkSession,
+    table: str,
+    path: str | None = None,
+    catalog: str | None = None,
+) -> DataFrame:
+    """Read back what :func:`write_table` wrote (catalog or parquet)."""
+    cat = iceberg_catalog(spark, catalog)
+    if cat is not None:
+        return spark.table(f"{cat}.{table}")
+    if path is None:
+        raise ValueError("no Iceberg catalog configured and no fallback path given")
+    return spark.read.parquet(path)

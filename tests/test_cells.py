@@ -90,3 +90,37 @@ def test_s2_udf_matches_np(spark):
     lat = np.array([p[0] for p in pts])
     lon = np.array([p[1] for p in pts])
     assert got == list(cells.s2_token_np(lat, lon, 12))
+
+
+def test_s2_tokens_ground_truth_fixtures():
+    """Known (lat, lon, level) → token pins from the public S2 spec.
+
+    Level 0: face cells — face = argmax |xyz| component (+3 when
+    negative), id = face << 61 | 1 << 60, token = hex sans trailing
+    zeros → "1 3 5 7 9 b".  Level 1: face-0 orientation is canonical
+    (swap = face & 1 = 0), kPosToIJ[0] maps Hilbert pos 0..3 → ij
+    (0,0) (0,1) (1,1) (1,0); face 1 is the swapped orientation, pos
+    0..3 → ij (0,0) (1,0) (1,1) (0,1).  On face 0, u = y/x tracks
+    longitude and v = z/x latitude; on face 1, u = -x/y, v = z/y.
+    """
+    fixtures = [
+        # face centers (level 0)
+        (0.0, 0.0, 0, "1"),
+        (0.0, 90.0, 0, "3"),
+        (90.0, 0.0, 0, "5"),
+        (0.0, 180.0, 0, "7"),
+        (0.0, -90.0, 0, "9"),
+        (-90.0, 0.0, 0, "b"),
+        # face-0 level-1 quadrants (canonical orientation)
+        (-30.0, -30.0, 1, "04"),
+        (30.0, -30.0, 1, "0c"),
+        (30.0, 30.0, 1, "14"),
+        (-30.0, 30.0, 1, "1c"),
+        # face-1 level-1, swapped orientation: ij (0,1) → pos 3
+        (30.0, 60.0, 1, "3c"),
+    ]
+    lat = np.array([f[0] for f in fixtures])
+    lon = np.array([f[1] for f in fixtures])
+    for (la, lo, lvl, want), idx in zip(fixtures, range(len(fixtures))):
+        got = cells.s2_token_np(lat[idx : idx + 1], lon[idx : idx + 1], lvl)[0]
+        assert got == want, (la, lo, lvl, got, want)

@@ -1,0 +1,99 @@
+"""Resource library (turbine/panel YAML configs) and gated Iceberg sink."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geodata_spark import resource as R
+from geodata_spark import sinks
+
+
+def test_list_resources():
+    assert "suzlon_s82_1500kw" in R.list_resources("windturbine")
+    assert "csi_huld" in R.list_resources("solarpanel")
+    assert R.list_resources("nonexistent_kind") == []
+
+
+def test_turbine_loader_matches_literal():
+    """YAML curve == the literal dict convert.py has always used."""
+    from geodata_spark import convert as C
+
+    t = R.get_windturbineconfig("suzlon_s82_1500kw")
+    assert t["V"] == C.TURBINE_SUZLON_S82["V"]
+    assert t["POW"] == C.TURBINE_SUZLON_S82["POW"]
+    assert t["hub_height"] == 79.0
+    assert t["P"] == 1.5  # P = max(POW), reference resource.py:42
+
+
+def test_turbine_loader_validates():
+    with pytest.raises(ValueError):
+        R.get_windturbineconfig({"V": [0.0, 5.0, 3.0], "POW": [0, 1, 1], "HUB_HEIGHT": 80})
+    with pytest.raises(ValueError):
+        R.get_windturbineconfig({"V": [0.0], "POW": [0.0], "HUB_HEIGHT": 80})
+
+
+def test_panel_loader():
+    csi = R.get_solarpanelconfig("csi_huld")
+    assert csi["model"] == "huld" and csi["k_1"] == -0.017162
+    cdte = R.get_solarpanelconfig("cdte_huld")
+    assert cdte["k_1"] == -0.046689
+    kan = R.get_solarpanelconfig("kaneka_bofinger")
+    assert kan["model"] == "bofinger" and kan["threshold"] == 1.0
+    with pytest.raises(ValueError):
+        R.get_solarpanelconfig({"model": "huld"})  # missing coefficients
+
+
+def test_wind_accepts_resource_name(spark):
+    """convert.wind('vestas_v90_2000kw') plans the curve from YAML."""
+    from geodata_spark import convert as C
+    from geodata_spark.synth import synth_grid_vars
+
+    gv = synth_grid_vars(spark, nhours=2, ny=2, nx=2)
+    out = C.wind(gv, "vestas_v90_2000kw", from_height=100).toPandas()
+    t = R.get_windturbineconfig("vestas_v90_2000kw")
+    # per-unit output bounded by 1, matching np.interp on the
+    # log-ratio hub-height speed (hub 80 m from wnd100m, z0 floor)
+    assert ((out["wind"] >= 0) & (out["wind"] <= 1.0)).all()
+    z0 = np.where(out["roughness"] <= 0, 0.0002, out["roughness"])
+    hub = out["wnd100m"] * np.log(80.0 / z0) / np.log(100.0 / z0)
+    want = np.interp(hub, t["V"], np.array(t["POW"]) / t["P"])
+    assert np.allclose(out["wind"], want, atol=1e-12)
+
+
+def test_pv_accepts_resource_name(spark):
+    from geodata_spark import convert as C
+    from geodata_spark.synth import synth_grid_vars
+
+    gv = synth_grid_vars(
+        spark, nhours=4, ny=2, nx=2,
+        variables=("temperature", "influx_direct", "influx_diffuse",
+                   "influx_toa", "albedo"),
+    )
+    out = C.pv(gv, "cdte_huld").toPandas()
+    assert np.isfinite(out["pv"]).all() and (out["pv"] >= 0).all()
+
+
+def test_iceberg_gate_closed_in_sandbox(spark):
+    """No Iceberg jars here → catalog resolution must return None."""
+    assert sinks.iceberg_catalog(spark) is None
+    assert sinks.iceberg_catalog(spark, "made_up") is None
+
+
+def test_write_table_parquet_fallback(spark, tmp_path):
+    df = spark.range(100).selectExpr("id", "id % 4 AS part")
+    desc = sinks.write_table(
+        df, "db.t", path=str(tmp_path / "t"), partition_by=("part",)
+    )
+    assert desc["sink"] == "parquet"
+    back = sinks.read_table(spark, "db.t", path=str(tmp_path / "t"))
+    assert back.count() == 100
+    # partition pruning works on the fallback layout
+    pruned = back.filter("part = 2")
+    assert pruned.count() == 25
+
+
+def test_write_table_requires_path_without_catalog(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        sinks.write_table(df, "db.t")
