@@ -53,6 +53,30 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _tune_splits(spark, path: str, cores: int) -> None:
+    """Size parquet scan splits so every core gets >=4 task waves.
+
+    The default 128 MiB split target is right at 100 TB (≈800k tasks)
+    but collapses a small bench corpus into fewer tasks than cores —
+    the scan stage then runs 8-wide on a 32-thread session and the
+    scaling measurement reads as engine serialization when it's only
+    split packing.  Dynamic SQLConf, so each timed phase re-plans with
+    its own target.
+    """
+    total = _dir_bytes(path)
+    target = max(1 << 20, min(128 << 20, total // (4 * cores) or 1))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 << 10))
+
+
 def corpus_path(n_docs: int) -> str:
     return os.path.join(CACHE, f"corpus_{n_docs}")
 
@@ -153,6 +177,7 @@ def bench_queries(spark) -> dict[str, float]:
     out: dict[str, float] = {}
 
     ensure_corpus(spark, N_DOCS)  # one-time materialization, not timed
+    _tune_splits(spark, corpus_path(N_DOCS), CPUS)
     # full-size warmup: the first allocation-heavy pass pays JIT +
     # heap-shaping costs that scale with thread count (observed 10x
     # first-run cliffs at local[32]) — never time run #1
@@ -191,6 +216,7 @@ def run_one(master: str) -> dict:
     spark = _session(master, shuffle)
     try:
         ensure_corpus(spark, N_DOCS)
+        _tune_splits(spark, corpus_path(N_DOCS), shuffle)
         # Build the plan ONCE and time re-executions: driver-side
         # analysis/codegen of the flagship expression tree costs ~4s
         # single-threaded regardless of parallelism — a constant that
@@ -203,6 +229,7 @@ def run_one(master: str) -> dict:
         # prepared path is ~15x faster per doc → needs a bigger corpus
         # for the job to dominate fixed scheduling costs
         n_prep = N_DOCS * PREP_MULT
+        _tune_splits(spark, prepared_path(n_prep), shuffle)
         dfp = flagship_prepared(spark, n_prep)
         _noop_write(dfp)
         best_p = min(_timed(lambda: _noop_write(dfp)) for _ in range(3))

@@ -249,6 +249,69 @@ def filter_area(
     )
 
 
+def dilate(
+    layer: DataFrame,
+    radius_cells: int,
+    value_col: str = "value",
+    y_col: str = "y_idx",
+    x_col: str = "x_idx",
+) -> DataFrame:
+    """Morphological dilation of a raster mask by a Euclidean disc.
+
+    The grid-native analog of the reference's km shape buffering
+    (``mask.py:557-575``: reproject to EPSG:6933, ``shape.buffer(km)``,
+    rasterize back).  On the cell grid a buffer of *d* km is a dilation
+    by ``radius_cells = ceil(d / cell_edge_km)`` — callers compute the
+    edge length at the region latitude (zonal.grid_area_expr).
+
+    Plan shape (scale): the disc offsets are a plan-time literal array
+    of (2r+1)²·π/4 entries; each *nonzero* cell explodes into its disc
+    and a groupBy on (y, x) dedups — cost O(nonzero · disc), never a
+    cross-join, and the groupBy partials combine map-side.  Cells whose
+    disc leaves the raster extent are clipped by the join back to the
+    layer's own grid (the reference clips to the raster window too).
+
+    Output: the input grid with ``value`` = 1.0 where the dilated mask
+    covers the cell, else 0.0.
+    """
+    r = int(radius_cells)
+    if r < 0:
+        raise ValueError("radius_cells must be >= 0")
+    offsets = [
+        (dy, dx)
+        for dy in range(-r, r + 1)
+        for dx in range(-r, r + 1)
+        if dy * dy + dx * dx <= r * r
+    ]
+    src = layer.filter(F.col(value_col) != 0).select(
+        F.col(y_col).cast("long").alias("_y"), F.col(x_col).cast("long").alias("_x")
+    )
+    disc = F.array(
+        *[
+            F.struct(
+                (F.col("_y") + F.lit(dy)).alias("y"),
+                (F.col("_x") + F.lit(dx)).alias("x"),
+            )
+            for dy, dx in offsets
+        ]
+    )
+    covered = (
+        src.select(F.explode(disc).alias("c"))
+        .select(F.col("c.y").alias("_y"), F.col("c.x").alias("_x"))
+        .groupBy("_y", "_x")
+        .agg(F.lit(1.0).alias("_dil"))
+    )
+    out = layer.join(
+        covered,
+        (F.col(y_col).cast("long") == F.col("_y"))
+        & (F.col(x_col).cast("long") == F.col("_x")),
+        "left",
+    )
+    return out.withColumn(
+        value_col, F.coalesce(F.col("_dil"), F.lit(0.0))
+    ).drop("_y", "_x", "_dil")
+
+
 # ---------------------------------------------------------------------------
 # S11 — persistence
 # ---------------------------------------------------------------------------

@@ -1257,6 +1257,46 @@ FROM fit3
 """
 
 
+def q_mask_dilate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-buffer analog: Euclidean disc dilation (r = 2 cells) of the
+    sparse protected-area mask (masks.dilate; reference km buffering
+    mask.py:557-575).  Output: covered (y_idx, x_idx) cells."""
+    from geodata_spark import masks
+    from geodata_spark.synth import synth_mask_layers
+
+    prot = synth_mask_layers(spark).filter(F.col("layer") == "protected")
+    dil = masks.dilate(prot, 2)
+    return dil.filter(F.col("value") == 1.0).select(
+        F.col("y_idx").cast("long").alias("y_idx"),
+        F.col("x_idx").cast("long").alias("x_idx"),
+    )
+
+
+def _mask_dilate_sql() -> str:
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+    return f"""
+WITH {mask_layers_sql_cte()},
+prot AS (
+  SELECT CAST(round((lat - {LAT0!r}) / {DLAT!r}) AS BIGINT) AS y_idx,
+         CAST(round((lon - {LON0!r}) / {DLON!r}) AS BIGINT) AS x_idx,
+         value
+  FROM maskl WHERE layer = 'protected'
+),
+offs AS (
+  SELECT dy.dy AS dy, dx.dx AS dx
+  FROM range(-2, 3) dy(dy), range(-2, 3) dx(dx)
+  WHERE dy.dy * dy.dy + dx.dx * dx.dx <= 4
+),
+cov AS (
+  SELECT DISTINCT p.y_idx + o.dy AS y_idx, p.x_idx + o.dx AS x_idx
+  FROM prot p, offs o WHERE p.value <> 0
+)
+SELECT g.y_idx, g.x_idx
+FROM prot g JOIN cov c ON g.y_idx = c.y_idx AND g.x_idx = c.x_idx
+"""
+
+
 def q_cell_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — exact spherical cell area in km² (zonal.py:26; reference
     add_grid_area cutout.py:394-438), 6 dp (sin differs by ulps)."""
@@ -1328,6 +1368,7 @@ QUERIES = {
     "irr_enhanced_clearsky": q_irr_enhanced,
     "model_fit_loglinear": q_model_fit,
     "cell_area": q_cell_area,
+    "mask_dilate": q_mask_dilate,
 }
 
 ORACLES = {
@@ -1370,4 +1411,5 @@ ORACLES = {
     "irr_enhanced_clearsky": _irr_enhanced_sql(),
     "model_fit_loglinear": _model_fit_sql(),
     "cell_area": _cell_area_sql(),
+    "mask_dilate": _mask_dilate_sql(),
 }

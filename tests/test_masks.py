@@ -124,3 +124,49 @@ def test_filter_area_snake(spark):
     assert (got == arr).all()  # single region of 22 cells, all kept
     got2 = _to_array(masks.filter_area(df, min_cells=23), 8, 8)
     assert (got2 == 0).all()
+
+
+def test_dilate_matches_numpy(spark):
+    """Disc dilation == brute-force numpy morphological dilation."""
+    import numpy as np
+
+    from geodata_spark import masks
+    from geodata_spark.synth import synth_mask_layers
+
+    ny, nx, r = 20, 25, 3
+    prot = synth_mask_layers(spark, ny=ny, nx=nx).filter(F.col("layer") == "protected")
+    got = (
+        masks.dilate(prot, r)
+        .select("y_idx", "x_idx", "value")
+        .toPandas()
+        .sort_values(["y_idx", "x_idx"])
+        .reset_index(drop=True)
+    )
+    src = prot.select("y_idx", "x_idx", "value").toPandas()
+    grid = np.zeros((ny, nx))
+    for _, row in src.iterrows():
+        grid[int(row.y_idx), int(row.x_idx)] = row.value
+    want = np.zeros((ny, nx))
+    ys, xs = np.nonzero(grid)
+    for y, x in zip(ys, xs):
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                yy, xx = y + dy, x + dx
+                if dy * dy + dx * dx <= r * r and 0 <= yy < ny and 0 <= xx < nx:
+                    want[yy, xx] = 1.0
+    got_grid = np.zeros((ny, nx))
+    for _, row in got.iterrows():
+        got_grid[int(row.y_idx), int(row.x_idx)] = row.value
+    assert (got_grid == want).all()
+    assert want.sum() > grid.astype(bool).sum()  # actually dilated
+
+
+def test_dilate_zero_radius_is_binarize(spark):
+    from geodata_spark import masks
+    from geodata_spark.synth import synth_mask_layers
+
+    prot = synth_mask_layers(spark, ny=8, nx=8).filter(F.col("layer") == "protected")
+    out = masks.dilate(prot, 0).toPandas()
+    src = prot.toPandas()
+    assert (out.sort_values(["y_idx", "x_idx"])["value"].to_numpy()
+            == (src.sort_values(["y_idx", "x_idx"])["value"].to_numpy() != 0)).all()
