@@ -32,8 +32,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # bench corpus size: fixed so runs are comparable across rounds
 N_DOCS = int(os.environ.get("BENCH_N_DOCS", "1000000"))
-# prepared-path corpus multiplier (prepared queries are ~15x faster/doc)
-PREP_MULT = int(os.environ.get("BENCH_PREP_MULT", "8"))
+# prepared-path corpus multiplier (prepared queries are ~15x faster/doc;
+# the corpus must be large enough that the local[2] run is compute-
+# dominated, or fixed scheduling costs flatten the scaling signal)
+PREP_MULT = int(os.environ.get("BENCH_PREP_MULT", "24"))
 CACHE = os.path.join(REPO, ".bench_cache")
 
 
@@ -72,7 +74,7 @@ def _tune_splits(spark, path: str, cores: int) -> None:
     its own target.
     """
     total = _dir_bytes(path)
-    target = max(1 << 20, min(128 << 20, total // (4 * cores) or 1))
+    target = max(1 << 20, min(128 << 20, total // (2 * cores) or 1))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     spark.conf.set("spark.sql.files.openCostInBytes", str(512 << 10))
 
@@ -250,7 +252,10 @@ def scaling() -> dict:
     # costs (stage scheduling, file open, codegen) drown the signal —
     # the scaling criterion needs a compute-dominated job.
     n = int(os.environ.get("BENCH_SCALING_DOCS", str(8 * N_DOCS)))
-    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    # shared-host noise (this sandbox is a microVM on multi-tenant
+    # hardware; load drifts by whole cores) — min over more interleaved
+    # rounds filters it
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
     env = dict(os.environ, BENCH_N_DOCS=str(n))
     # pre-build both corpora at full parallelism so the (slow) child
     # sessions never pay one-time materialization

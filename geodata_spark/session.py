@@ -53,7 +53,10 @@ def get_spark(
         # local[32]).
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xms8g -XX:+UseG1GC -XX:+AlwaysPreTouch",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-Xms8g -XX:+UseG1GC -XX:+AlwaysPreTouch",
+            ),
         )
         # 128 MiB split targets keep scan tasks balanced at 100 TB scale
         # and are harmless at test scale.

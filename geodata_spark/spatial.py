@@ -90,6 +90,33 @@ def parse_geo_spans(docs: DataFrame, kinds: tuple[str, ...] = ("geo",)) -> DataF
     )
 
 
+_COVER_CACHE: dict[tuple, list] = {}
+
+
+def _cover_rows(zones: dict[str, list[np.ndarray]], res: int) -> list:
+    """Memoized cover planning: the cover of a zone set at a resolution
+    is a deterministic plan artifact (like a prepared statement) —
+    real deployments build it once per zone catalog and reuse it across
+    every query, so repeated plan builds must not re-run the planner."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for zid in sorted(zones):
+        h.update(zid.encode())
+        for ring in zones[zid]:
+            h.update(np.ascontiguousarray(ring, dtype=np.float64).tobytes())
+    key = (h.hexdigest(), res)
+    rows = _COVER_CACHE.get(key)
+    if rows is None:
+        rows = []
+        for zid, rings in zones.items():
+            full, boundary = geometry.polygon_cover(rings, res)
+            rows.extend((zid, int(c), False) for c in full)
+            rows.extend((zid, int(c), True) for c in boundary)
+        _COVER_CACHE[key] = rows
+    return rows
+
+
 def zone_cover_df(
     spark: SparkSession,
     zones: dict[str, list[np.ndarray]] | None = None,
@@ -103,11 +130,7 @@ def zone_cover_df(
     PIP test.
     """
     zones = zones or ZONES
-    rows = []
-    for zid, rings in zones.items():
-        full, boundary = geometry.polygon_cover(rings, res)
-        rows.extend((zid, int(c), False) for c in full)
-        rows.extend((zid, int(c), True) for c in boundary)
+    rows = _cover_rows(zones, res)
     schema = T.StructType(
         [
             T.StructField("zone_id", T.StringType(), False),

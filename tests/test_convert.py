@@ -400,3 +400,21 @@ def test_night_rows_toa_zero_ansi_safe(spark):
         got = {r["hour"]: r["irr"] for r in out}
         assert got[12] == 0.0 and got[13] == 0.0  # zero influx_c → suppressed
         assert got[14] is not None and got[14] >= 0.0
+
+
+def test_heat_demand_negative_shift_floors_to_previous_day(spark):
+    """Western-timezone hour_shift near the epoch: shifted hours -6..-1
+    must land in day -1, not truncate toward day 0 (reference
+    shift-then-resample('1D') calendar semantics)."""
+    rows = [(h, 20.0, 75.0, 280.0 + h) for h in range(30)]
+    df = spark.createDataFrame(
+        rows, "hour long, lat double, lon double, temperature double"
+    )
+    out = C.heat_demand(df, hour_shift=-6).toPandas().sort_values("day_idx")
+    # shifted hours -6..23 → day -1 (hours 0..5) and day 0 (hours 6..29)
+    assert list(out["day_idx"]) == [-1, 0]
+    n_by_day = {
+        int(r.day_idx): r.t_daily_k for r in out.itertuples()
+    }
+    assert n_by_day[-1] == np.mean([280.0 + h for h in range(6)])
+    assert n_by_day[0] == np.mean([280.0 + h for h in range(6, 30)])

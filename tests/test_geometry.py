@@ -94,3 +94,50 @@ def test_wkb_roundtrip():
         assert len(rings) == len(ZONES[zid])
         for got, want in zip(rings, ZONES[zid]):
             assert np.allclose(got, want)
+
+
+def test_polygon_cover_prefilter_equivalence():
+    """The Liang-Barsky prefilter + bulk center-PIP fast path must
+    classify exactly like the brute-force per-cell Sutherland-Hodgman
+    sweep (the pre-optimization algorithm), modulo provably-uniform
+    multi-ring cells the old code never saw as candidates."""
+    import numpy as np
+
+    from geodata_spark import cells
+    from geodata_spark.geometry import (
+        clip_to_rect,
+        points_in_rings,
+        polygon_area,
+        polygon_cover,
+    )
+    from geodata_spark.zones import ZONES
+
+    eps = 1e-9
+    for res in (6, 7):
+        for zid, rings in ZONES.items():
+            got_full, got_boundary = polygon_cover(rings, res)
+            allv = np.vstack(rings)
+            ids = cells.cells_in_bbox(
+                allv[:, 1].min(), allv[:, 1].max(),
+                allv[:, 0].min(), allv[:, 0].max(), res,
+            )
+            la0, la1, lo0, lo1 = cells.cell_bounds_np(ids)
+            area = (la1[0] - la0[0]) * (lo1[0] - lo0[0])
+            full, boundary = [], []
+            for cid, a0, a1, o0, o1 in zip(ids, la0, la1, lo0, lo1):
+                covered = sum(
+                    polygon_area(clip_to_rect(r, o0, o1, a0, a1)) for r in rings
+                )
+                if covered <= eps:
+                    continue
+                if covered >= area - eps:
+                    cx = np.array([o0 + eps, o1 - eps, o0 + eps, o1 - eps, (o0 + o1) / 2])
+                    cy = np.array([a0 + eps, a0 + eps, a1 - eps, a1 - eps, (a0 + a1) / 2])
+                    if points_in_rings(cx, cy, rings).all():
+                        full.append(cid)
+                    else:
+                        boundary.append(cid)
+                else:
+                    boundary.append(cid)
+            assert set(got_full) == set(full), (zid, res)
+            assert set(got_boundary) == set(boundary), (zid, res)

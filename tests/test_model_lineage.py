@@ -158,3 +158,20 @@ def test_cutout_partitioned_write_prunes(spark, tmp_path):
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "day" in plan
     assert sub.count() == 24 * 9
+
+
+def test_snapshot_id_stable_across_calls(spark, tmp_path):
+    """snapshot_id must be a process-independent fingerprint (sha256 of
+    the partition signature), so lineage rows from identical inputs in
+    different runs carry the same id."""
+    from geodata_spark import lineage
+
+    src = spark.range(40).selectExpr("id", "CAST(id % 4 AS STRING) AS p", "id * 2 AS v")
+    r1 = lineage.run_partitioned(
+        spark, src, lambda d: d, str(tmp_path / "o1"), "p", max_workers=1
+    )
+    r2 = lineage.run_partitioned(
+        spark, src, lambda d: d, str(tmp_path / "o2"), "p", max_workers=1
+    )
+    assert r1["snapshot_id"] == r2["snapshot_id"]
+    assert r1["snapshot_id"].startswith("snap-")
