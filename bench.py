@@ -141,7 +141,7 @@ def flagship_prepared(spark, n_docs: int):
     cover = spatial.zone_cover_df(spark, ZONES, 9)
     joined = pts.join(F.broadcast(cover), "cell_r9")
     keep = F.when(~F.col("boundary"), F.lit(True)).otherwise(
-        spatial.pip_zone_expr(F.col("lat"), F.col("lon"), F.col("zone_id"), ZONES)
+        spatial.pip_zone_expr("lat", "lon", "zone_id", ZONES)
     )
     zoned = joined.filter(keep).drop("boundary")
     weighted = zoned.withColumn(

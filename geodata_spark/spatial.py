@@ -74,19 +74,24 @@ def parse_geo_spans(docs: DataFrame, kinds: tuple[str, ...] = ("geo",)) -> DataF
     """
     spans = explode_spans(docs).filter(F.col("kind").isin(*kinds))
     p = F.split(F.col("media_ref"), "[:,@#&=]")
-    return (
-        spans.withColumn("_p", p)
-        .withColumn("lat", F.col("_p").getItem(1).cast("double"))
-        .withColumn("lon", F.col("_p").getItem(2).cast("double"))
-        .withColumn("hour", F.substring(F.col("_p").getItem(3), 2, 12).cast("long"))
-        .withColumn("val", F.element_at(F.col("_p"), -1).cast("double"))
-        .withColumn(
-            "ts",
-            F.expr(
-                "timestamp'2011-01-01 00:00:00' + make_interval(0,0,0,0, CAST(hour AS INT))"
-            ),
-        )
-        .drop("text", "media_ref", "_p")
+    # two select passes, not six withColumns: every withColumn copies +
+    # re-analyzes the whole plan on the driver, which dominated cold
+    # query latency (codegen dedups the shared split() at runtime)
+    parsed = spans.select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        "offset",
+        p.getItem(1).cast("double").alias("lat"),
+        p.getItem(2).cast("double").alias("lon"),
+        F.substring(p.getItem(3), 2, 12).cast("long").alias("hour"),
+        F.element_at(p, -1).cast("double").alias("val"),
+    )
+    return parsed.select(
+        "doc_id", "span_idx", "kind", "offset", "lat", "lon", "hour", "val",
+        F.expr(
+            "timestamp'2011-01-01 00:00:00' + make_interval(0,0,0,0, CAST(hour AS INT))"
+        ).alias("ts"),
     )
 
 
@@ -138,7 +143,10 @@ def zone_cover_df(
             T.StructField("boundary", T.BooleanType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    # Arrow path: a cover can be O(10^4) rows; per-tuple Python
+    # serialization in createDataFrame dominated plan-build latency
+    pdf = pd.DataFrame(rows, columns=["zone_id", f"cell_r{res}", "boundary"])
+    return spark.createDataFrame(pdf, schema)
 
 
 def pip_udf(spark: SparkSession, zones: dict[str, list[np.ndarray]] | None = None):
@@ -168,8 +176,8 @@ def pip_udf(spark: SparkSession, zones: dict[str, list[np.ndarray]] | None = Non
     return _pip
 
 
-def pip_ring_expr(lat: Column, lon: Column, ring: np.ndarray) -> Column:
-    """Even-odd ray cast for ONE fixed ring, as a pure Catalyst column.
+def pip_ring_sql(lat: str, lon: str, ring: np.ndarray) -> str:
+    """Even-odd ray cast for ONE fixed ring, as SQL text.
 
     For each non-horizontal edge, an indicator of a rightward-ray
     crossing; inside = (Σ indicators) mod 2 == 1.  Arithmetic is the
@@ -177,45 +185,54 @@ def pip_ring_expr(lat: Column, lon: Column, ring: np.ndarray) -> Column:
     so the two paths agree on every input including on-edge points.
     Polygons are static plan constants → the whole test stays inside
     whole-stage codegen (no Python, no broadcast-pickle).
+
+    SQL text, not Column algebra: building this expression op-by-op
+    costs ~2 py4j round trips per operator (~0.65 s of driver latency
+    per plan build for the zone fixtures); one ``F.expr`` parse is a
+    single round trip.
     """
     ring = np.asarray(ring, dtype=np.float64)
-    terms: Column | None = None
+    terms: list[str] = []
     n = len(ring)
     for k in range(n):
         x1, y1 = float(ring[k][0]), float(ring[k][1])
         x2, y2 = float(ring[(k + 1) % n][0]), float(ring[(k + 1) % n][1])
         if y1 == y2:
             continue  # horizontal edge never toggles
-        cond = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
-            lon < (F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1))
+        cond = (
+            f"(({y1!r} > {lat}) <> ({y2!r} > {lat})) AND "
+            f"({lon} < ({(x2 - x1)!r} * ({lat} - {y1!r}) / {(y2 - y1)!r} + {x1!r}))"
         )
-        term = F.when(cond, F.lit(1)).otherwise(F.lit(0))
-        terms = term if terms is None else terms + term
-    if terms is None:
-        return F.lit(False)
-    return (terms % F.lit(2)) == F.lit(1)
+        terms.append(f"(CASE WHEN {cond} THEN 1 ELSE 0 END)")
+    if not terms:
+        return "false"
+    return f"((({' + '.join(terms)}) % 2) = 1)"
 
 
-def pip_zone_expr(
-    lat: Column, lon: Column, zone_col: Column, zones: dict[str, list[np.ndarray]]
-) -> Column:
-    """Dispatch :func:`pip_ring_expr` on a zone_id column (CASE chain).
+def pip_zone_sql(
+    lat: str, lon: str, zone_col: str, zones: dict[str, list[np.ndarray]]
+) -> str:
+    """Dispatch :func:`pip_ring_sql` on a zone_id column (CASE chain).
 
-    Even-odd composition over rings (XOR) for multipolygons.
+    Even-odd composition over rings (XOR = ``<>``) for multipolygons.
     """
-    expr: Column | None = None
+    branches = []
     for zid, rings in zones.items():
         inside = None
         for ring in rings:
-            r = pip_ring_expr(lat, lon, ring)
-            inside = r if inside is None else inside != r  # XOR
-        expr = (
-            F.when(zone_col == F.lit(zid), inside)
-            if expr is None
-            else expr.when(zone_col == F.lit(zid), inside)
-        )
-    assert expr is not None
-    return expr.otherwise(F.lit(False))
+            r = pip_ring_sql(lat, lon, ring)
+            inside = r if inside is None else f"({inside} <> {r})"
+        branches.append(f"WHEN {zone_col} = '{zid}' THEN {inside}")
+    assert branches
+    return f"(CASE {' '.join(branches)} ELSE false END)"
+
+
+def pip_zone_expr(
+    lat: str, lon: str, zone_col: str, zones: dict[str, list[np.ndarray]]
+) -> Column:
+    """Catalyst Column form of :func:`pip_zone_sql` (args are SQL
+    snippets, usually column names)."""
+    return F.expr(pip_zone_sql(lat, lon, zone_col, zones))
 
 
 def _total_vertices(zones: dict[str, list[np.ndarray]]) -> int:
@@ -257,8 +274,9 @@ def join_zones(
     joined = pts.join(F.broadcast(cover), cell_col)
 
     if strategy == "expr":
-        keep = F.when(~F.col("boundary"), F.lit(True)).otherwise(
-            pip_zone_expr(F.col(lat_col), F.col(lon_col), F.col("zone_id"), zones)
+        keep = F.expr(
+            f"CASE WHEN NOT boundary THEN true "
+            f"ELSE {pip_zone_sql(lat_col, lon_col, 'zone_id', zones)} END"
         )
         return joined.filter(keep).drop("boundary")
 
