@@ -90,3 +90,54 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+def streaming_dedup_first_seen(docs_stream: DataFrame, prefix_len: int = 2) -> DataFrame:
+    """Streaming exact dedup — custom stateful operator via
+    ``applyInPandasWithState``.
+
+    Emits only the FIRST document seen for each content fingerprint,
+    across micro-batches: the streaming twin of
+    :func:`geodata_spark.pipeline.dedup.exact_dedup`'s survivor pick,
+    with arrival order replacing min-id.  No built-in streaming op
+    expresses this (``dropDuplicates`` on a stream cannot bound state
+    by key group or evolve to approximate state).
+
+    State sharding: documents group by a fingerprint *prefix*
+    (16^prefix_len groups), so state spreads across executors instead
+    of concentrating per key; each group's state is the fingerprint
+    set already emitted.  At production scale the state value becomes
+    a bloom filter / TTLed set — the grouping and transition logic
+    stay identical; the exact set keeps tests deterministic.
+
+    Input schema: (doc_id, text).  Output: (fp_prefix, doc_id,
+    fingerprint), append mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from geodata_spark.pipeline.text import normalize_sql
+
+    with_fp = docs_stream.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(f"md5({normalize_sql('text', 'spark')})").alias("fingerprint"),
+    ).withColumn("fp_prefix", F.substring("fingerprint", 1, prefix_len))
+
+    def dedup(key, pdf_iter, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdf_iter:
+            for doc_id, fp in zip(pdf["doc_id"], pdf["fingerprint"]):
+                if fp not in seen:
+                    seen.add(fp)
+                    rows.append((key[0], doc_id, fp))
+        state.update((sorted(seen),))
+        yield pd.DataFrame(rows, columns=["fp_prefix", "doc_id", "fingerprint"])
+
+    return with_fp.groupBy("fp_prefix").applyInPandasWithState(
+        dedup,
+        "fp_prefix string, doc_id string, fingerprint string",
+        "seen array<string>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

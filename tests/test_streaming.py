@@ -58,3 +58,56 @@ def test_streaming_span_counts_append_with_watermark(spark, docs_path):
         q.stop()
     assert set(got.kind) == {"geo", "raster_tile"}
     assert got.n_spans.sum() > 0
+
+
+def test_streaming_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: a fingerprint emitted in
+    micro-batch 1 must be suppressed when re-arriving in micro-batch 2
+    (state survives batches); each fingerprint emits exactly once."""
+    import os
+    import time
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(20)], "doc_id long, text string"
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q_dir = str(tmp_path / "unused")
+    del q_dir
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ST.streaming_dedup_first_seen(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {r.fingerprint for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    assert len(first) == 20  # all unique in batch 1
+
+    # batch 2: 10 duplicates of batch 1 (different doc ids) + 5 new docs
+    time.sleep(1.05)  # file source orders by mod time
+    batch2 = spark.createDataFrame(
+        [(100 + i, f"text body {i}") for i in range(10)]
+        + [(200 + i, f"fresh text {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    fps = [r.fingerprint for r in rows]
+    assert len(fps) == len(set(fps))  # never re-emitted
+    assert len(fps) == 25  # 20 + 5 new, 10 dupes suppressed
+    # the duplicate fingerprints kept their batch-1 doc ids (< 100)
+    emitted_ids = {int(r.doc_id) for r in rows}
+    assert all(i < 100 or i >= 200 for i in emitted_ids)
