@@ -161,13 +161,12 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF: centroids = deterministic sample (lowest ids); assign by max
     cosine; probe the query's n_probe nearest cells."""
+    # cell id = the centroid's own vec_id: stable across task retries
+    # (monotonically_increasing_id is not) and reproducible in SQL
     cents = (
         vectors.orderBy(id_col)
         .limit(n_cells)
-        .select(
-            F.monotonically_increasing_id().alias("cell"),
-            F.col(vec_col).alias("cent"),
-        )
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent"))
     )
     # assignment: best cell per vector (broadcast centroids).  max_by in
     # one hash aggregation — a ranking window here would sort-shuffle all

@@ -1257,6 +1257,103 @@ FROM fit3
 """
 
 
+_COS_SQL = (
+    "list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic coarse centroids (16 lowest-id
+    vectors), probe-4, top-5 — the full inverted-file pipeline
+    (assignment, probe selection, in-cell ranking) against an exact
+    SQL twin.  Recall vs brute force is pytest-covered; this pins the
+    pipeline's mechanics bit-for-bit."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.ivf_topk(vecs, queries, n_cells=16, n_probe=4, k=5)
+
+
+def _ann_ivf_sql() -> str:
+    cos_vc = _COS_SQL.format(a="v.embedding", b="c.cent")
+    cos_qc = _COS_SQL.format(a="q.query_vec", b="c.cent")
+    cos_vq = _COS_SQL.format(a="v.embedding", b="p.query_vec")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS cent FROM embeddings ORDER BY vec_id LIMIT 16
+),
+v_assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.cell ASC) AS r
+    FROM embeddings v, cents c
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 10),
+q_probes AS (
+  SELECT query_id, query_vec, cell FROM (
+    SELECT q.query_id, q.query_vec, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {cos_qc} DESC, c.cell ASC) AS r
+    FROM q, cents c
+  ) WHERE r <= 4
+),
+scored AS (
+  SELECT p.query_id, v.vec_id, round({cos_vq}, 6) AS cosine_r6
+  FROM q_probes p JOIN v_assigned v USING (cell)
+  WHERE v.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_r6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_r6 DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine_r6 FROM ranked WHERE rank <= 5
+"""
+
+
+def q_idw_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/W2 extension — inverse-distance-weighted interpolation over
+    the 4 nearest grid cells (knn.idw_interpolate), 6 dp."""
+    from geodata_spark import knn
+
+    src = _gv(spark).filter(F.col("hour") == 0).select("lat", "lon", "temperature")
+    tgts = spark.createDataFrame(_KNN_TGTS, ["lat", "lon"])
+    out = knn.idw_interpolate(tgts, src, "temperature", k=4, res=6)
+    return out.select(
+        "lat", "lon",
+        F.round("idw_value", 6).alias("idw_r6"),
+        F.col("knn_used").cast("long").alias("knn_used"),
+    )
+
+
+_IDW_SQL = f"""
+WITH {_GV_CTE},
+tgts AS (
+  SELECT * FROM (VALUES {', '.join(f'({a!r}, {b!r})' for a, b in _KNN_TGTS)}) t(lat, lon)
+),
+src AS (SELECT lat, lon, temperature FROM gridv WHERE hour = 0),
+ranked AS (
+  SELECT t.lat, t.lon,
+         (t.lat - s.lat) * (t.lat - s.lat) + (t.lon - s.lon) * (t.lon - s.lon) AS d2,
+         s.temperature,
+         row_number() OVER (
+           PARTITION BY t.lat, t.lon
+           ORDER BY (t.lat - s.lat) * (t.lat - s.lat) + (t.lon - s.lon) * (t.lon - s.lon),
+                    s.lat, s.lon
+         ) AS rnk
+  FROM tgts t, src s
+)
+SELECT lat, lon,
+       round(sum(temperature * (1.0 / (d2 + 1e-12))) / sum(1.0 / (d2 + 1e-12)), 6) AS idw_r6,
+       count(*) AS knn_used
+FROM ranked WHERE rnk <= 4
+GROUP BY 1, 2
+"""
+
+
 def q_mask_dilate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-buffer analog: Euclidean disc dilation (r = 2 cells) of the
     sparse protected-area mask (masks.dilate; reference km buffering
@@ -1369,6 +1466,8 @@ QUERIES = {
     "model_fit_loglinear": q_model_fit,
     "cell_area": q_cell_area,
     "mask_dilate": q_mask_dilate,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "idw_interp": q_idw_interp,
 }
 
 ORACLES = {
@@ -1412,4 +1511,6 @@ ORACLES = {
     "model_fit_loglinear": _model_fit_sql(),
     "cell_area": _cell_area_sql(),
     "mask_dilate": _mask_dilate_sql(),
+    "ann_ivf_topk": _ann_ivf_sql(),
+    "idw_interp": _IDW_SQL,
 }
