@@ -1257,6 +1257,61 @@ FROM fit3
 """
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing oracle: image spans → deterministic
+    sha256-keystream payloads (attach_payloads) → fake decode (byte
+    tiling) → 16-bin byte histogram via iterator mapInPandas
+    (pipeline.multimodal).  The 8×8 tiling of a 256-byte sha256
+    keystream is the digest twice, so each histogram bin equals the
+    digest's high-nibble count / 32 — exactly expressible over the
+    hex digest in SQL, which hash-checks the whole plumbing chain
+    (payload synthesis, Arrow batch iteration, output schema)."""
+    from geodata_spark.pipeline import multimodal as MM
+
+    spans = spatial.explode_spans(corpus(spark, sf_dir)).filter(
+        (F.col("kind") == "image") & F.expr("substr(md5(media_ref), 1, 1) = '0'")
+    )
+    media = MM.attach_payloads(spans.select("doc_id", "media_ref"))
+    feats = MM.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "n_bytes",
+        F.posexplode("feature").alias("bin", "feat"),
+    ).select(
+        "doc_id",
+        "media_ref",
+        "n_bytes",
+        F.col("bin").cast("long").alias("bin"),
+        F.col("feat").cast("double").alias("feat"),
+    )
+
+
+_MEDIA_FEATURES_SQL = f"""
+WITH {_CORPUS_CTE},
+sel AS (
+  SELECT doc_id, media_ref, sha256(media_ref) AS sha
+  FROM spansx
+  WHERE kind = 'image' AND substr(md5(media_ref), 1, 1) = '0'
+),
+pos AS (SELECT CAST(p.range AS INT) AS p FROM range(32) p),
+cnt AS (
+  SELECT doc_id, media_ref, substr(sha, 2 * p + 1, 1) AS hx, count(*) AS c
+  FROM sel, pos GROUP BY 1, 2, 3
+),
+bins AS (
+  SELECT CAST(b.range AS BIGINT) AS bin,
+         substr('0123456789abcdef', CAST(b.range AS INT) + 1, 1) AS hx
+  FROM range(16) b
+)
+SELECT s.doc_id, s.media_ref, CAST(256 AS BIGINT) AS n_bytes, bins.bin,
+       CAST(coalesce(c.c, 0) AS DOUBLE) / 32.0 AS feat
+FROM sel s CROSS JOIN bins
+LEFT JOIN cnt c
+  ON c.doc_id = s.doc_id AND c.media_ref = s.media_ref AND c.hx = bins.hx
+"""
+
+
 _COS_SQL = (
     "list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     " / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
@@ -1468,6 +1523,7 @@ QUERIES = {
     "mask_dilate": q_mask_dilate,
     "ann_ivf_topk": q_ann_ivf_topk,
     "idw_interp": q_idw_interp,
+    "media_features": q_media_features,
 }
 
 ORACLES = {
@@ -1513,4 +1569,5 @@ ORACLES = {
     "mask_dilate": _mask_dilate_sql(),
     "ann_ivf_topk": _ann_ivf_sql(),
     "idw_interp": _IDW_SQL,
+    "media_features": _MEDIA_FEATURES_SQL,
 }
