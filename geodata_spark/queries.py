@@ -1369,6 +1369,80 @@ SELECT query_id, rank, vec_id, cosine_r6 FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (8 tables × 6 planes, 1-bit probe,
+    top-5) — buckets, probes, candidate join and in-bucket ranking all
+    reproduced in SQL with the same seeded plane literals.  Sign
+    agreement across engines holds to ~1e-14 dot precision (flip
+    probability ~1e-10 over this corpus)."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.hyperplane_lsh_topk(
+        vecs, queries, dim=64, k=5, n_planes=6, n_tables=8, n_probe_bits=1, seed=42
+    )
+
+
+def _ann_lsh_sql() -> str:
+    from geodata_spark.pipeline.similarity import _hyperplanes
+
+    n_tables, n_planes, seed = 8, 6, 42
+
+    def bucket_expr(e: str, t: int) -> str:
+        planes = _hyperplanes(64, n_planes, seed + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product({e}, "
+            f"[{', '.join(repr(float(x)) for x in planes[j])}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        return f"CAST({bits} AS BIGINT)"
+
+    vb = "\n  UNION ALL ".join(
+        f"SELECT vec_id, ev, {t} AS tbl, {bucket_expr('ev', t)} AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    qb = "\n  UNION ALL ".join(
+        f"SELECT query_id, qv, {t} AS tbl, {bucket_expr('qv', t)} AS sig FROM q"
+        for t in range(n_tables)
+    )
+    masks = ", ".join(f"({m})" for m in [0] + [1 << b for b in range(n_planes)])
+    cos = (
+        "list_inner_product(v.ev, p.qv)"
+        " / (sqrt(list_inner_product(v.ev, v.ev))"
+        " * sqrt(list_inner_product(p.qv, p.qv)))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+vb AS (
+  {vb}
+),
+qb AS (
+  {qb}
+),
+qp AS (
+  SELECT query_id, qv, tbl, xor(sig, CAST(m.m AS BIGINT)) AS bucket
+  FROM qb CROSS JOIN (VALUES {masks}) m(m)
+),
+scored AS (
+  SELECT DISTINCT p.query_id, v.vec_id, round({cos}, 6) AS cosine_r6
+  FROM qp p JOIN vb v ON p.tbl = v.tbl AND p.bucket = v.bucket
+  WHERE v.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_r6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_r6 DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine_r6 FROM ranked WHERE rank <= 5
+"""
+
+
 def q_idw_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/W2 extension — inverse-distance-weighted interpolation over
     the 4 nearest grid cells (knn.idw_interpolate), 6 dp."""
@@ -1524,6 +1598,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "idw_interp": q_idw_interp,
     "media_features": q_media_features,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 ORACLES = {
@@ -1570,4 +1645,5 @@ ORACLES = {
     "ann_ivf_topk": _ann_ivf_sql(),
     "idw_interp": _IDW_SQL,
     "media_features": _MEDIA_FEATURES_SQL,
+    "ann_lsh_topk": _ann_lsh_sql(),
 }
