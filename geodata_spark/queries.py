@@ -1523,6 +1523,48 @@ FROM prot g JOIN cov c ON g.y_idx = c.y_idx AND g.x_idx = c.x_idx
 """
 
 
+def q_multifile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S4/A9 — per-variable file merge by coordinates
+    (open_mfdataset combine='by_coords' analog, sources.multi_file_merge)
+    plus bounds metadata.  Three 'files' with disjoint variable columns
+    (one truncated in time) merge into one wide table; per-group sums,
+    counts and spatial bounds are dyadic-exact."""
+    from geodata_spark import sources
+
+    gv = _gv(spark)
+    parts = [
+        gv.select("hour", "lat", "lon", "temperature"),
+        gv.select("hour", "lat", "lon", "wnd100m"),
+        gv.filter(F.col("hour") < 24).select("hour", "lat", "lon", "rhoa"),
+    ]
+    merged = sources.multi_file_merge(parts)
+    return merged.groupBy((F.col("hour") < 24).alias("h_lo")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("temperature").alias("t_sum"),
+        F.sum("wnd100m").alias("w_sum"),
+        F.sum("rhoa").alias("r_sum"),
+        F.min("lat").alias("lat_min"),
+        F.max("lat").alias("lat_max"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+    )
+
+
+_MULTIFILE_SQL = f"""
+WITH {_GV_CTE},
+merged AS (
+  SELECT hour, lat, lon, temperature, wnd100m,
+         CASE WHEN hour < 24 THEN rhoa ELSE NULL END AS rhoa
+  FROM gridv
+)
+SELECT (hour < 24) AS h_lo, count(*) AS n,
+       sum(temperature) AS t_sum, sum(wnd100m) AS w_sum, sum(rhoa) AS r_sum,
+       min(lat) AS lat_min, max(lat) AS lat_max,
+       min(lon) AS lon_min, max(lon) AS lon_max
+FROM merged GROUP BY 1
+"""
+
+
 def q_cell_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — exact spherical cell area in km² (zonal.py:26; reference
     add_grid_area cutout.py:394-438), 6 dp (sin differs by ulps)."""
@@ -1599,6 +1641,7 @@ QUERIES = {
     "idw_interp": q_idw_interp,
     "media_features": q_media_features,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "multifile_merge": q_multifile_merge,
 }
 
 ORACLES = {
@@ -1646,4 +1689,5 @@ ORACLES = {
     "idw_interp": _IDW_SQL,
     "media_features": _MEDIA_FEATURES_SQL,
     "ann_lsh_topk": _ann_lsh_sql(),
+    "multifile_merge": _MULTIFILE_SQL,
 }
