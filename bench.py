@@ -229,8 +229,11 @@ def run_one(master: str) -> dict:
         _noop_write(df)
         best = min(_timed(lambda: _noop_write(df)) for _ in range(3))
         # prepared path is ~15x faster per doc → needs a bigger corpus
-        # for the job to dominate fixed scheduling costs
+        # for the job to dominate fixed scheduling costs.  Materialize
+        # BEFORE tuning: on a cold cache the directory is empty and the
+        # split target would degenerate to the 1 MiB floor.
         n_prep = N_DOCS * PREP_MULT
+        ensure_prepared(spark, n_prep)
         _tune_splits(spark, prepared_path(n_prep), shuffle)
         dfp = flagship_prepared(spark, n_prep)
         _noop_write(dfp)

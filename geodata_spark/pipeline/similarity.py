@@ -173,7 +173,11 @@ def ivf_topk(
     # N×C (vector, centroid) pairs just to keep one row per vector.
     # Ordering key struct(s, -cell) == (cosine desc, cell asc) tie-break.
     va = vectors.join(F.broadcast(cents))
-    sim_vc = cosine(F.col(vec_col), F.col("cent")).alias("s")
+    # assignment/probe similarities are rounded to 9 dp: selection by
+    # raw doubles is vulnerable to 1-ulp fold-order/FMA differences
+    # (near-tied centroids could flip cells across engines/retries);
+    # at 9 dp a flip needs a genuine 1e-9 tie, broken by cell id.
+    sim_vc = F.round(cosine(F.col(vec_col), F.col("cent")), 9).alias("s")
     v_assigned = (
         va.select(id_col, vec_col, "cell", sim_vc)
         .groupBy(id_col)
@@ -186,7 +190,7 @@ def ivf_topk(
         .select(id_col, F.col("_best.cell").alias("cell"), F.col("_best._vec").alias(vec_col))
     )
     qa = queries.join(F.broadcast(cents))
-    sim_qc = cosine(F.col(q_vec_col), F.col("cent")).alias("s")
+    sim_qc = F.round(cosine(F.col(q_vec_col), F.col("cent")), 9).alias("s")
     wq = Window.partitionBy(q_id_col).orderBy(F.col("s").desc(), F.col("cell").asc())
     q_probes = (
         qa.select(q_id_col, q_vec_col, "cell", sim_qc)

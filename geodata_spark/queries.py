@@ -1333,8 +1333,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf_sql() -> str:
-    cos_vc = _COS_SQL.format(a="v.embedding", b="c.cent")
-    cos_qc = _COS_SQL.format(a="q.query_vec", b="c.cent")
+    # assignment/probe cosines rounded at 9 dp, matching ivf_topk's
+    # cross-engine tie guard
+    cos_vc = "round(" + _COS_SQL.format(a="v.embedding", b="c.cent") + ", 9)"
+    cos_qc = "round(" + _COS_SQL.format(a="q.query_vec", b="c.cent") + ", 9)"
     cos_vq = _COS_SQL.format(a="v.embedding", b="p.query_vec")
     return f"""
 WITH cents AS (

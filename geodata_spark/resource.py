@@ -65,7 +65,10 @@ def get_windturbineconfig(turbine: str | dict) -> dict:
         raise ValueError("turbine curve needs matching V/POW lists (>=2 points)")
     if any(b < a for a, b in zip(v, v[1:])):
         raise ValueError("turbine V knots must be non-decreasing")
-    hub = float(conf.get("hub_height", conf.get("HUB_HEIGHT")))
+    hub = conf.get("hub_height", conf.get("HUB_HEIGHT"))
+    if hub is None:
+        raise ValueError("turbine config needs hub_height (or HUB_HEIGHT)")
+    hub = float(hub)
     return {"V": v, "POW": pow_, "hub_height": hub, "P": max(pow_)}
 
 

@@ -29,16 +29,18 @@ def iceberg_catalog(spark: SparkSession, catalog: str | None = None) -> str | No
     """
     candidates = [catalog] if catalog else []
     if not candidates:
-        # scan session conf for declared catalogs
+        # `SET` lists every explicitly-set conf including ones set at
+        # RUNTIME via spark.conf.set (sparkContext.getConf() would only
+        # see launch-time entries and miss the normal notebook path)
         try:
-            items = spark.sparkContext.getConf().getAll()
-        except Exception:  # pragma: no cover - connect-only sessions
+            items = [(r.key, r.value) for r in spark.sql("SET").collect()]
+        except Exception:  # pragma: no cover - exotic sessions
             items = []
         candidates = [
             k.split(".", 3)[3]
             for k, v in items
             if k.startswith("spark.sql.catalog.") and k.count(".") == 3
-            and "iceberg" in v.lower()
+            and v and "iceberg" in v.lower()
         ]
     for name in candidates:
         impl = spark.conf.get(f"spark.sql.catalog.{name}", None)
@@ -79,10 +81,13 @@ def write_table(
 
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "append":
-            # append to an existing table; create it on first write
-            try:
+            # create on first write; append otherwise.  An existence
+            # check, not try/append-except-create: a bare except would
+            # convert real append failures (schema drift, catalog
+            # outage) into a misleading 'table already exists' error.
+            if df.sparkSession.catalog.tableExists(target):
                 writer.append()
-            except Exception:
+            else:
                 writer.create()
         else:
             writer.createOrReplace()

@@ -56,8 +56,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str,
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
             F.sum(ep_c).alias("sum_base_c"),
-            F.sum(ep_c * (100 - d_pct)).alias("sum_disc_c4"),
-            F.sum(ep_c * (100 - d_pct) * (100 + t_pct)).alias("sum_charge_c6"),
+            # the per-row products fit comfortably in int64 (≤1e13) but
+            # their SUM reaches ~6e17·sf — int64 overflows (ANSI abort)
+            # near sf 15.  Accumulate in DECIMAL(38,0) (exact, order-
+            # independent), then one deterministic cast to double.
+            F.sum((ep_c * (100 - d_pct)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sum_disc_c4"),
+            F.sum((ep_c * (100 - d_pct) * (100 + t_pct)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sum_charge_c6"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -77,8 +85,8 @@ WITH li AS (
 SELECT l_returnflag, l_linestatus,
        CAST(sum(qty) AS BIGINT) AS sum_qty,
        CAST(sum(ep_c) AS BIGINT) AS sum_base_c,
-       CAST(sum(ep_c * (100 - d_pct)) AS BIGINT) AS sum_disc_c4,
-       CAST(sum(ep_c * (100 - d_pct) * (100 + t_pct)) AS BIGINT) AS sum_charge_c6,
+       CAST(sum(CAST(ep_c * (100 - d_pct) AS DECIMAL(38,0))) AS DOUBLE) AS sum_disc_c4,
+       CAST(sum(CAST(ep_c * (100 - d_pct) * (100 + t_pct) AS DECIMAL(38,0))) AS DOUBLE) AS sum_charge_c6,
        count(*) AS n_lines
 FROM li
 GROUP BY l_returnflag, l_linestatus
