@@ -1594,6 +1594,151 @@ FROM gridv WHERE hour = 0
 """
 
 
+def q_wind_power_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28 — Gaussian-smoothed turbine power curve applied to wnd100m.
+
+    The Spark side smooths with :func:`convert.windturbine_smooth`
+    (numpy direct convolution on the 0.1 m/s grid, ref
+    resource.py:75-142) and applies the curve as an interp CASE chain;
+    the oracle recomputes the ENTIRE smoothing — p_reg interp, Gaussian
+    kernel, discrete same-mode convolution, re-interp to the 72-point
+    grid, peak normalization — independently in SQL from the raw curve
+    literals, so the convolution itself is cross-engine verified (the
+    last pytest-only physics op of round 2)."""
+    from geodata_spark import convert as C
+
+    t = C.windturbine_smooth(C.TURBINE_SUZLON_S82)
+    out = _gv(spark).withColumn(
+        "wind_pu",
+        F.expr(FM.interp_curve("wnd100m", list(t["V"]), [p / t["P"] for p in t["POW"]])),
+    )
+    return out.select(
+        "hour", "lat", "lon", F.round("wind_pu", 6).alias("wind_pu_r6")
+    )
+
+
+def _wind_power_smoothed_sql() -> str:
+    import numpy as np
+
+    from geodata_spark import convert as C
+
+    t = C.TURBINE_SUZLON_S82
+    eta, delta_v, sigma = 0.95, 1.27, 2.29
+    # raw-curve interp on the regular grid (shared literal: the raw
+    # turbine config; everything downstream is SQL-computed)
+    preg = FM.interp_curve("v", list(t["V"]), list(t["POW"]))
+    v_new = [float(x) for x in np.linspace(0.0, 35.0, 72)]
+    step = v_new[1] - v_new[0]
+    vnew_rows = ", ".join(f"({j}, {v!r})" for j, v in enumerate(v_new))
+    return f"""
+WITH {_GV_CTE},
+vr AS (
+  SELECT CAST(r.range AS BIGINT) AS i, -50.0 + 0.1 * r.range AS v FROM range(1001) r
+),
+preg AS (SELECT i, {preg} AS p FROM vr),
+kern AS (
+  SELECT i,
+         exp(-((v - {delta_v!r}) * (v - {delta_v!r})) / (2 * {sigma!r} * {sigma!r}))
+           / sqrt(2 * pi() * {sigma!r} * {sigma!r}) AS k
+  FROM vr
+),
+conv AS (
+  -- same-mode discrete convolution, 0.1 m/s grid; only the index
+  -- window the 72-point re-interp brackets is materialized
+  SELECT a.i AS i, 0.1 * sum(p.p * k.k) AS c
+  FROM vr a
+  JOIN preg p ON TRUE
+  JOIN kern k ON k.i = a.i + 500 - p.i
+  WHERE a.i BETWEEN 500 AND 851
+  GROUP BY a.i
+),
+vnew(j, v) AS (VALUES {vnew_rows}),
+snew AS (
+  SELECT vn.j, vn.v,
+         {eta!r} * (c0.c + (c1.c - c0.c) * ((vn.v - (-50.0 + 0.1 * c0.i)) / 0.1)) AS p
+  FROM vnew vn
+  JOIN conv c0 ON c0.i = CAST(floor((vn.v + 50.0) / 0.1) AS BIGINT)
+  JOIN conv c1 ON c1.i = c0.i + 1
+),
+pmax AS (SELECT max(p) AS pm FROM snew)
+SELECT g.hour, g.lat, g.lon,
+       round(s0.p / pmax.pm
+             + least(greatest((g.wnd100m - s0.v) / (s1.v - s0.v), 0.0), 1.0)
+               * (s1.p / pmax.pm - s0.p / pmax.pm), 6) AS wind_pu_r6
+FROM gridv g
+CROSS JOIN pmax
+JOIN snew s0 ON s0.j = least(greatest(CAST(floor(g.wnd100m / {step!r}) AS BIGINT), 0), 70)
+JOIN snew s1 ON s1.j = s0.j + 1
+"""
+
+
+_SPLINE_HEIGHTS = [10.0, 50.0, 100.0, 200.0]
+# dyadic per-height profile coefficients: speed_h = a·wnd100m + b·ustar
+_SPLINE_PROFILE = {10.0: (0.5, 1.0), 50.0: (0.75, 2.0), 100.0: (1.0, 0.0), 200.0: (1.125, 0.5)}
+
+
+def q_spline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/J10 — per-cell natural-cubic-spline wind profile fit over 4
+    heights + evaluation at 30 m and 150 m (ref
+    model/wind/interpolate.py:59-122).
+
+    The Spark side solves the tridiagonal system per cell in grouped
+    applyInPandas (model.fit_spline_pandas); the oracle solves the
+    SAME system in closed form (n=4 ⇒ a 2×2 solve for the interior
+    second derivatives) in SQL — the spline math is cross-engine
+    verified, not just numpy-twinned."""
+    from geodata_spark import model
+
+    stack_args = ", ".join(
+        f"CAST({h!r} AS DOUBLE), {a!r} * wnd100m + {b!r} * ustar"
+        for h, (a, b) in _SPLINE_PROFILE.items()
+    )
+    long_df = (
+        _gv(spark)
+        .filter(F.col("hour") == 0)
+        .selectExpr("lat", "lon", f"stack(4, {stack_args}) AS (height, speed)")
+    )
+    out = model.fit_spline_pandas(long_df, ["lat", "lon"], [30.0, 150.0])
+    return out.select(
+        "lat", "lon",
+        F.round("spl_30", 6).alias("spl_30_r6"),
+        F.round("spl_150", 6).alias("spl_150_r6"),
+    )
+
+
+def _spline_profile_sql() -> str:
+    ys = {
+        h: f"({a!r} * wnd100m + {b!r} * ustar)"
+        for h, (a, b) in _SPLINE_PROFILE.items()
+    }
+    y0, y1, y2, y3 = (ys[h] for h in _SPLINE_HEIGHTS)
+    # knots x=[10,50,100,200] → h=[40,50,100]; natural BC M0=M3=0;
+    # interior system [[180,50],[50,300]]·[M1,M2] = [r1,r2], det=51500
+    return f"""
+WITH {_GV_CTE},
+pts AS (
+  SELECT lat, lon, {y0} AS y0, {y1} AS y1, {y2} AS y2, {y3} AS y3
+  FROM gridv WHERE hour = 0
+),
+sys AS (
+  SELECT lat, lon, y0, y1, y2, y3,
+         6.0 * ((y2 - y1) / 50.0 - (y1 - y0) / 40.0) AS r1,
+         6.0 * ((y3 - y2) / 100.0 - (y2 - y1) / 50.0) AS r2
+  FROM pts
+),
+m AS (
+  SELECT lat, lon, y0, y1, y2, y3,
+         (r1 * 300.0 - 50.0 * r2) / 51500.0 AS m1,
+         (180.0 * r2 - 50.0 * r1) / 51500.0 AS m2
+  FROM sys
+)
+SELECT lat, lon,
+       round(0.5 * y0 + 0.5 * y1 + ((0.125 - 0.5) * m1) * 40.0 * 40.0 / 6.0, 6) AS spl_30_r6,
+       round(0.5 * y2 + 0.5 * y3 + ((0.125 - 0.5) * m2) * 100.0 * 100.0 / 6.0, 6) AS spl_150_r6
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1644,6 +1789,8 @@ QUERIES = {
     "media_features": q_media_features,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multifile_merge": q_multifile_merge,
+    "wind_power_smoothed": q_wind_power_smoothed,
+    "spline_profile": q_spline_profile,
 }
 
 ORACLES = {
@@ -1692,4 +1839,6 @@ ORACLES = {
     "media_features": _MEDIA_FEATURES_SQL,
     "ann_lsh_topk": _ann_lsh_sql(),
     "multifile_merge": _MULTIFILE_SQL,
+    "wind_power_smoothed": _wind_power_smoothed_sql(),
+    "spline_profile": _spline_profile_sql(),
 }

@@ -46,10 +46,26 @@ def iceberg_catalog(spark: SparkSession, catalog: str | None = None) -> str | No
         impl = spark.conf.get(f"spark.sql.catalog.{name}", None)
         if not impl or "iceberg" not in impl.lower():
             continue
+        # resolve via Spark's own loader: jars added at runtime
+        # (--jars / spark.jars.packages — the normal Iceberg deploy)
+        # live in the mutable context classloader, which the plain
+        # application-classloader Class.forName can't see — that gate
+        # silently downgraded a properly configured Iceberg sink to
+        # parquet (round-2 advice)
         try:
-            spark.sparkContext._jvm.java.lang.Class.forName(impl)  # noqa: SLF001
+            spark.sparkContext._jvm.org.apache.spark.util.Utils.classForName(  # noqa: SLF001
+                impl, True, False
+            )
             return name
         except Exception:
+            import warnings
+
+            warnings.warn(
+                f"Iceberg catalog {name!r} is configured ({impl}) but the "
+                f"implementation class is not loadable — falling back to "
+                f"parquet. Add the iceberg-spark-runtime jar.",
+                stacklevel=2,
+            )
             continue
     return None
 

@@ -222,7 +222,10 @@ def pip_zone_sql(
         for ring in rings:
             r = pip_ring_sql(lat, lon, ring)
             inside = r if inside is None else f"({inside} <> {r})"
-        branches.append(f"WHEN {zone_col} = '{zid}' THEN {inside}")
+        # SQL-escape the zone id literal: a quote in a caller-supplied
+        # id must not break (or reshape) the generated expression
+        zid_sql = str(zid).replace("'", "''")
+        branches.append(f"WHEN {zone_col} = '{zid_sql}' THEN {inside}")
     assert branches
     return f"(CASE {' '.join(branches)} ELSE false END)"
 

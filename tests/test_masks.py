@@ -126,6 +126,32 @@ def test_filter_area_snake(spark):
     assert (got2 == 0).all()
 
 
+def test_filter_area_long_snake_logarithmic_rounds(spark):
+    """A serpentine region of diameter ~300 — far beyond any plausible
+    round budget for plain min-propagation (O(diameter)) — must
+    converge under the hook+pointer-jump scheme within a small
+    O(log n) round budget, and non-convergence must raise rather than
+    silently split the component."""
+    ny, nx = 20, 16
+    # boustrophedon: even rows fully on, odd rows carry a single
+    # connector cell at alternating ends → one path-shaped component
+    # of ~170 cells with graph diameter ~300
+    arr = np.zeros((ny, nx))
+    for y in range(ny):
+        if y % 2 == 0:
+            arr[y, :] = 1
+        else:
+            arr[y, nx - 1 if (y // 2) % 2 == 0 else 0] = 1
+    df = _layer_df(spark, arr)
+    n_cells = int(arr.sum())
+    got = _to_array(masks.filter_area(df, min_cells=n_cells, max_iters=20), ny, nx)
+    assert (got == arr).all()  # one component, all kept at exact threshold
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        masks.filter_area(df, min_cells=1, max_iters=1)
+
+
 def test_dilate_matches_numpy(spark):
     """Disc dilation == brute-force numpy morphological dilation."""
     import numpy as np

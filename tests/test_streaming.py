@@ -111,3 +111,57 @@ def test_streaming_stateful_dedup_across_microbatches(spark, tmp_path):
     # the duplicate fingerprints kept their batch-1 doc ids (< 100)
     emitted_ids = {int(r.doc_id) for r in rows}
     assert all(i < 100 or i >= 200 for i in emitted_ids)
+
+
+def _run_dedup_once(spark, tmp_path, rows, name, **kwargs):
+    import os
+
+    src = str(tmp_path / f"{name}_src")
+    os.makedirs(src)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 10)
+        .parquet(src)
+    )
+    out = ST.streaming_dedup_first_seen(stream, **kwargs)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_streaming_dedup_same_batch_survivor_is_min_id(spark, tmp_path):
+    """Duplicates arriving in the SAME micro-batch must resolve to the
+    min doc_id (the batch twin's survivor rule), not pandas iterator
+    order — deterministic across runs and task retries."""
+    rows = [(7, "dup text"), (3, "dup text"), (9, "dup text"), (1, "solo")]
+    got = _run_dedup_once(spark, tmp_path, rows, "dedup_minid")
+    by_fp = {r.fingerprint: int(r.doc_id) for r in got}
+    assert len(got) == 2 == len(by_fp)
+    assert 3 in by_fp.values()  # min of {7,3,9} survives
+    assert 7 not in by_fp.values() and 9 not in by_fp.values()
+
+
+def test_streaming_dedup_bloom_state_bounded(spark, tmp_path):
+    """Bloom state mode: same first-seen semantics on a no-collision
+    workload, with state capped at bloom_bits/8 bytes per shard."""
+    # same-width ids so lexicographic min == numeric min (doc_id is a
+    # string column, matching the batch twin's F.min on string ids)
+    rows = [(100 + i, f"bloom body {i}") for i in range(30)] + [
+        (500 + i, f"bloom body {i}") for i in range(10)
+    ]
+    got = _run_dedup_once(
+        spark, tmp_path, rows, "dedup_bloom",
+        state_mode="bloom", bloom_bits=1 << 16,
+    )
+    ids = sorted(int(r.doc_id) for r in got)
+    assert ids == list(range(100, 130))  # 30 distinct, dupes suppressed, min ids win

@@ -71,11 +71,20 @@ def test_outer_join_keeps_zero_order_customers(spark):
     assert zero and all(r["spend_c"] == 0 for r in zero)
 
 
-@pytest.mark.parametrize("col", ["sum_base_c", "sum_disc_c4", "sum_charge_c6"])
-def test_pricing_sums_are_integral(spark, col):
-    """Money sums are exact integers: base stays int64; the big product
-    sums accumulate in DECIMAL(38,0) (int64 would overflow near sf 15
-    under ANSI) and surface as integral doubles."""
-    row = tpch.pricing_summary(spark, SF_DIR).agg(F.sum(col).alias("s")).first()
-    v = row["s"]
-    assert v == int(v)
+@pytest.mark.parametrize("col", ["sum_disc_c4", "sum_charge_c6", "revenue_c4"])
+def test_big_money_sums_are_exact_digit_strings(spark, col):
+    """Product-of-cents sums accumulate in DECIMAL(38,0) (int64 would
+    overflow near sf 15 under ANSI; double rounds above 2^53) and
+    publish the exact integer digits as strings — every value must be
+    a pure digit string, non-empty, with no sign/point/exponent."""
+    if col == "revenue_c4":
+        df = tpch.lineitem_order_revenue(spark, SF_DIR)
+    else:
+        df = tpch.pricing_summary(spark, SF_DIR)
+    vals = [r[col] for r in df.select(col).collect()]
+    assert vals and all(isinstance(v, str) and v.isdigit() for v in vals)
+
+
+def test_base_money_sum_is_integral_int64(spark):
+    row = tpch.pricing_summary(spark, SF_DIR).agg(F.sum("sum_base_c").alias("s")).first()
+    assert row["s"] == int(row["s"])
