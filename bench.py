@@ -180,35 +180,33 @@ def bench_queries(spark) -> dict[str, float]:
 
     ensure_corpus(spark, N_DOCS)  # one-time materialization, not timed
     _tune_splits(spark, corpus_path(N_DOCS), CPUS)
-    # full-size warmup: the first allocation-heavy pass pays JIT +
-    # heap-shaping costs that scale with thread count (observed 10x
-    # first-run cliffs at local[32]) — never time run #1
-    _noop_write(flagship(spark, N_DOCS))
 
-    out["zonal_daily_wavg"] = round(
-        min(_timed(lambda: _noop_write(flagship(spark, N_DOCS))) for _ in range(2)), 3
-    )
+    def timed_best(df, reps: int = 2) -> float:
+        """Warmed min-of-k: run #1 pays plan build + JIT + heap-shaping
+        (observed 10x first-run cliffs at local[32]) and is never
+        timed; every headline number uses the same protocol so
+        cross-round deltas are real, not measurement asymmetry."""
+        _noop_write(df)
+        return round(min(_timed(lambda: _noop_write(df)) for _ in range(reps)), 3)
+
+    out["zonal_daily_wavg"] = timed_best(flagship(spark, N_DOCS))
 
     # cell-encode + hierarchy rollup throughput
-    t0 = time.time()
     docs = spark.read.parquet(ensure_corpus(spark, N_DOCS))
     pts = spatial.parse_geo_spans(docs, kinds=("geo", "raster_tile"))
     enc = pts.withColumn("cell_r9", cells.cell_expr(F.col("lat"), F.col("lon"), 9))
     agg = enc.groupBy(cells.parent_expr(F.col("cell_r9"), 4).alias("cell_r5")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("val").alias("v")
     )
-    _noop_write(agg)
-    out["cell_rollup"] = round(time.time() - t0, 3)
+    out["cell_rollup"] = timed_best(agg)
 
     # span explode + per-doc sequence integrity
-    t0 = time.time()
     spans = spatial.explode_spans(spark.read.parquet(ensure_corpus(spark, N_DOCS)))
     sig = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("offset").cast("long")).alias("s"),
     )
-    _noop_write(sig)
-    out["span_explode"] = round(time.time() - t0, 3)
+    out["span_explode"] = timed_best(sig)
 
     return out
 
@@ -238,6 +236,16 @@ def run_one(master: str) -> dict:
         dfp = flagship_prepared(spark, n_prep)
         _noop_write(dfp)
         best_p = min(_timed(lambda: _noop_write(dfp)) for _ in range(3))
+        # scan control: the pruned columnar scan of the SAME prepared
+        # table with no query logic at all.  Its N→4N efficiency is the
+        # page-cache/decode bandwidth ceiling of this host — a prepared-
+        # path efficiency at or above the scan control means the query
+        # adds no serialization beyond what the bare scan already pays.
+        scan_df = spark.read.parquet(prepared_path(n_prep)).select(
+            "cell_r9", "lat", "lon", "val", "hour"
+        )
+        _noop_write(scan_df)
+        best_s = min(_timed(lambda: _noop_write(scan_df)) for _ in range(3))
         return {
             "master": master,
             "sec": round(best, 3),
@@ -245,6 +253,7 @@ def run_one(master: str) -> dict:
             "sec_prepared": round(best_p, 3),
             "docs_per_sec_prepared": round(n_prep / best_p, 1),
             "n_docs_prepared": n_prep,
+            "sec_scan_control": round(best_s, 3),
         }
     finally:
         spark.stop()
@@ -288,10 +297,13 @@ def scaling() -> dict:
                 results[master] = r
     t2, t8, t32 = (results[m]["sec"] for m in masters)
     p2, p8, p32 = (results[m]["sec_prepared"] for m in masters)
+    s2, s8, s32 = (results[m]["sec_scan_control"] for m in masters)
     eff_2_8 = t2 / (4.0 * t8)
     eff_8_32 = t8 / (4.0 * t32)
     peff_2_8 = p2 / (4.0 * p8)
     peff_8_32 = p8 / (4.0 * p32)
+    seff_2_8 = s2 / (4.0 * s8)
+    seff_8_32 = s8 / (4.0 * s32)
     report = {
         "n_docs": n,
         **{m: results[m] for m in masters},
@@ -299,6 +311,8 @@ def scaling() -> dict:
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
         "prepared_scaling_efficiency_2_to_8": round(peff_2_8, 3),
         "prepared_scaling_efficiency_8_to_32": round(peff_8_32, 3),
+        "scan_control_efficiency_2_to_8": round(seff_2_8, 3),
+        "scan_control_efficiency_8_to_32": round(seff_8_32, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -322,25 +336,32 @@ an {PREP_MULT}x larger corpus ({n * PREP_MULT:,} docs) because the
 per-doc cost is ~15x lower and the job must dominate fixed scheduling
 costs.
 
-| parallelism | raw sec | raw docs/sec | prepared sec | prepared docs/sec |
-|---|---|---|---|---|
-| local[2]  | {t2} | {results['local[2]']['docs_per_sec']:,} | {p2} | {results['local[2]']['docs_per_sec_prepared']:,} |
-| local[8]  | {t8} | {results['local[8]']['docs_per_sec']:,} | {p8} | {results['local[8]']['docs_per_sec_prepared']:,} |
-| local[32] | {t32} | {results['local[32]']['docs_per_sec']:,} | {p32} | {results['local[32]']['docs_per_sec_prepared']:,} |
+| parallelism | raw sec | raw docs/sec | prepared sec | prepared docs/sec | scan-control sec |
+|---|---|---|---|---|---|
+| local[2]  | {t2} | {results['local[2]']['docs_per_sec']:,} | {p2} | {results['local[2]']['docs_per_sec_prepared']:,} | {s2} |
+| local[8]  | {t8} | {results['local[8]']['docs_per_sec']:,} | {p8} | {results['local[8]']['docs_per_sec_prepared']:,} | {s8} |
+| local[32] | {t32} | {results['local[32]']['docs_per_sec']:,} | {p32} | {results['local[32]']['docs_per_sec_prepared']:,} | {s32} |
 
 **Scaling efficiency (N→4N):**
 
 - raw ingest: local[2]→local[8] = **{eff_2_8:.3f}**, local[8]→local[32] = **{eff_8_32:.3f}**
 - prepared:   local[2]→local[8] = **{peff_2_8:.3f}**, local[8]→local[32] = **{peff_8_32:.3f}**
   (target ≥ 0.8 for an N→4N pair)
+- scan control: local[2]→local[8] = **{seff_2_8:.3f}**, local[8]→local[32] = **{seff_8_32:.3f}**
 
-Hardware control: this sandbox exposes 32 vCPUs with SMT — a pure-CPU
+Hardware controls: this sandbox exposes 32 vCPUs with SMT — a pure-CPU
 multiprocessing control (tight integer loop, zero shared state)
 measures only ~0.73 efficiency from 8→32 processes, so wall-clock
-0.8 in that regime exceeds the physical core budget.  The 2→8 pair
-runs entirely on distinct physical cores and is the faithful proxy for
-adding executor machines; 8→32 is reported for completeness with the
-SMT ceiling noted.
+0.8 in that regime exceeds the physical core budget.  The **scan
+control** above is the second, IO-shaped ceiling: the pruned columnar
+scan of the prepared table with zero query logic, measured under the
+identical protocol.  It bounds any scan-dominated query from above —
+a prepared-path efficiency at or above the scan control's means the
+query adds no serialization beyond the bare page-cache/decode
+bandwidth the host gives those threads.  The 2→8 pair runs entirely
+on distinct physical cores and is the faithful proxy for adding
+executor machines; 8→32 is reported for completeness with both
+ceilings noted.
 
 Spark conf: shuffle.partitions = cores, AQE on (coalesce + skew join),
 Arrow on, broadcast zone cover, salted aggregation (8 buckets),

@@ -1,0 +1,137 @@
+"""Sequence packing + dataset splitting — LLM-pretraining pipeline ops.
+
+Two operators a training-data pipeline needs downstream of dedup:
+
+- :func:`pack_chunks` — concat-and-chunk sequence packing: documents
+  are laid out in a deterministic pseudo-random order (hash of id) and
+  cut into fixed ``context_len`` token windows by cumulative offset —
+  the standard pretraining packing scheme (documents may straddle a
+  boundary; the chunk id is ``offset // context_len``).
+
+  Scale shape: a naive global cumulative sum is a single-partition
+  window (the classic Spark scale trap).  Here the prefix sum is
+  **two-phase**: documents shard by hash; each shard computes a local
+  running offset (window partitioned BY SHARD — parallel), shard
+  totals (one tiny agg) turn into per-shard base offsets, and
+  global_offset = shard_base + local_offset.  Equivalent to the serial
+  scan under the total order (shard, h, id) — which is exactly what
+  the DuckDB oracle evaluates with one global window.
+
+- :func:`dataset_split` — deterministic train/val/test assignment by
+  integer hash bucket of the document id: stable across runs, engines
+  and retries, no RNG state.  ``md5_60`` hash mode makes both
+  operators bit-reproducible in DuckDB (same design as pipeline.dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geodata_spark.pipeline.dedup import hash60, hash60_sql
+from geodata_spark.pipeline.text import token_count_sql
+
+_SEED = 7
+
+
+def pack_chunks(
+    docs: DataFrame,
+    context_len: int = 2048,
+    n_shards: int = 16,
+    hash_mode: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-chunk packing stats: (chunk_id, n_docs, n_tokens).
+
+    ``n_shards`` bounds window-partition size: set it to O(cluster
+    cores) in production so every executor runs one shard-local
+    running sum; the cross-shard carry is a broadcast of ``n_shards``
+    base offsets, never a shuffle of the corpus.
+    """
+    tok = F.expr(token_count_sql(text_col, "spark")).cast("long")
+    h = hash60(F.col(id_col).cast("string"), _SEED, hash_mode)
+    d = docs.select(
+        F.col(id_col).alias("_id"), tok.alias("_tok"), h.alias("_h")
+    ).withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)))
+    w_local = (
+        Window.partitionBy("_shard")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_off_local", F.sum("_tok").over(w_local) - F.col("_tok"))
+    totals = d.groupBy("_shard").agg(F.sum("_tok").alias("_shard_tot"))
+    w_base = (
+        Window.orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = totals.withColumn(
+        "_base", F.sum("_shard_tot").over(w_base) - F.col("_shard_tot")
+    ).select("_shard", "_base")
+    packed = local.join(F.broadcast(bases), "_shard").withColumn(
+        "_chunk", ((F.col("_base") + F.col("_off_local")) / F.lit(context_len)).cast("long")
+    )
+    return packed.groupBy(F.col("_chunk").alias("chunk_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+    )
+
+
+def pack_chunks_sql(
+    context_len: int = 2048,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: ONE global running sum over the identical total
+    order (shard, h, id) — the serial semantics the two-phase Spark
+    plan must reproduce."""
+    tok = token_count_sql(text_col, "duckdb")
+    h = hash60_sql(f"CAST({id_col} AS VARCHAR)", _SEED)
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, CAST({tok} AS BIGINT) AS tok, {h} AS h,
+         {h} % {n_shards} AS shard
+  FROM {table}
+),
+laid AS (
+  SELECT id, tok,
+         sum(tok) OVER (ORDER BY shard, h, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+           AS goff
+  FROM d
+)
+SELECT CAST(goff // {context_len} AS BIGINT) AS chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens
+FROM laid
+GROUP BY 1
+"""
+
+
+def dataset_split(
+    docs: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    hash_mode: str = "xxhash64",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a deterministic ``split`` column (train/val/test)."""
+    bucket = F.pmod(hash60(F.col(id_col).cast("string"), _SEED, hash_mode), F.lit(100))
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)
+
+
+def split_expr_sql(train_pct: int = 80, val_pct: int = 10,
+                   id_col: str = "doc_id") -> str:
+    b = f"({hash60_sql(f'CAST({id_col} AS VARCHAR)', _SEED)} % 100)"
+    return (
+        f"(CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' ELSE 'test' END)"
+    )

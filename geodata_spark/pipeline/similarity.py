@@ -167,6 +167,61 @@ def hyperplane_lsh_topk(
     )
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
+
+    The embedding analog of MinHash/SimHash near-dup: candidate pairs
+    are vectors sharing a sign-pattern bucket in ANY of the L tables
+    (one multi-signature scan + posexplode — the corpus is scanned
+    once); exact cosine is computed only within buckets and pairs with
+    cosine ≥ ``threshold`` survive.  Never an all-pairs cross-join:
+    candidate volume ∝ Σ bucket², bounded by the bucket granularity
+    knob (n_planes), which is the standard recall/cost lever —
+    documented recall at wide angles is partial, exactly like the ANN
+    path (a pair at cosine τ agrees with one hyperplane with
+    probability 1−acos(τ)/π).
+
+    Output: (id_a, id_b, cosine_r6) with id_a < id_b, deduped across
+    tables.
+
+    Shuffle shape (100 TB): the bucket self-join moves only the narrow
+    (id, table, bucket) rows — never the vector payload; candidate
+    pairs are ``distinct``-ed BEFORE the two id-equi-joins re-attach
+    embeddings, so each vector crosses the wire O(1) times and each
+    surviving pair's cosine is computed once.
+    """
+    sigs = hyperplane_multisig_udf(dim, n_planes, n_tables, seed)
+    b = vectors.select(
+        F.col(id_col),
+        F.posexplode(sigs(F.col(vec_col))).alias("_table", "_bucket"),
+    )
+    left = b.select("_table", "_bucket", F.col(id_col).alias("id_a"))
+    right = b.select("_table", "_bucket", F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, ["_table", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_r6"))
+        .filter(F.col("cosine_r6") >= threshold)
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -718,6 +718,7 @@ FROM stt GROUP BY 1, 2, 3
 # ---------------------------------------------------------------------------
 
 from geodata_spark.pipeline import dedup as DD  # noqa: E402
+from geodata_spark.pipeline import packing as PK  # noqa: E402
 from geodata_spark.pipeline import similarity as SIM  # noqa: E402
 from geodata_spark.pipeline import text as TX  # noqa: E402
 
@@ -1594,6 +1595,102 @@ FROM gridv WHERE hour = 0
 """
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining sequence packing (concat-and-chunk, 2048-token
+    context) — distributed two-phase prefix sum (shard-local running
+    offsets + broadcast shard bases) vs the oracle's single global
+    running sum over the identical total order; md5_60 hash mode makes
+    layout order and chunk cuts bit-identical across engines."""
+    from geodata_spark.pipeline import packing as PK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return PK.pack_chunks(docs, context_len=2048, n_shards=16, hash_mode="md5_60")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split (80/10/10) with
+    per-(split, lang) doc and token counts — stable across runs,
+    engines and retries (no RNG state)."""
+    from geodata_spark.pipeline import packing as PK
+    from geodata_spark.pipeline.text import token_count_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = PK.dataset_split(docs, hash_mode="md5_60")
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(token_count_sql("text", "spark")).cast("long")).alias("n_tokens"),
+    )
+
+
+def _dataset_split_sql() -> str:
+    from geodata_spark.pipeline import packing as PK
+    from geodata_spark.pipeline.text import token_count_sql
+
+    return f"""
+SELECT {PK.split_expr_sql()} AS split, lang,
+       count(*) AS n_docs,
+       CAST(sum(CAST({token_count_sql('text', 'duckdb')} AS BIGINT)) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed self-join,
+    τ=0.4, 8 tables × 6 planes) — completes the dedup family
+    (exact / Jaccard / MinHash / SimHash / embedding-cosine).  The
+    oracle reproduces the bucket construction with the same seeded
+    plane literals, so bucketing, candidate set and cosines are all
+    cross-engine checked; recall vs brute force is a pytest property
+    (the threshold/plane-count trade-off is the documented knob)."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.embedding_neardup_pairs(
+        vecs, dim=64, threshold=0.4, n_planes=6, n_tables=8, seed=42
+    )
+
+
+def _embed_neardup_sql() -> str:
+    from geodata_spark.pipeline.similarity import _hyperplanes
+
+    n_tables, n_planes, seed = 8, 6, 42
+
+    def bucket_expr(e: str, t: int) -> str:
+        planes = _hyperplanes(64, n_planes, seed + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product({e}, "
+            f"[{', '.join(repr(float(x)) for x in planes[j])}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        return f"CAST({bits} AS BIGINT)"
+
+    vb = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr('ev', t)} AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    cos = (
+        "list_inner_product(a.ev, b.ev)"
+        " / (sqrt(list_inner_product(a.ev, a.ev))"
+        " * sqrt(list_inner_product(b.ev, b.ev)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+vb AS (
+  {vb}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM vb l JOIN vb r ON l.tbl = r.tbl AND l.bucket = r.bucket
+  WHERE l.vec_id < r.vec_id
+)
+SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine_r6
+FROM cand c
+JOIN v a ON a.vec_id = c.id_a
+JOIN v b ON b.vec_id = c.id_b
+WHERE round({cos}, 6) >= 0.4
+"""
+
+
 def q_wind_power_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F28 — Gaussian-smoothed turbine power curve applied to wnd100m.
 
@@ -1791,6 +1888,9 @@ QUERIES = {
     "multifile_merge": q_multifile_merge,
     "wind_power_smoothed": q_wind_power_smoothed,
     "spline_profile": q_spline_profile,
+    "embed_neardup": q_embed_neardup,
+    "pack_chunks": q_pack_chunks,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLES = {
@@ -1841,4 +1941,7 @@ ORACLES = {
     "multifile_merge": _MULTIFILE_SQL,
     "wind_power_smoothed": _wind_power_smoothed_sql(),
     "spline_profile": _spline_profile_sql(),
+    "embed_neardup": _embed_neardup_sql(),
+    "pack_chunks": PK.pack_chunks_sql(),
+    "dataset_split": _dataset_split_sql(),
 }

