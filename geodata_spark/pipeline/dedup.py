@@ -84,6 +84,31 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination screen: flag corpus documents sharing
+    any word n-gram with a benchmark/eval set.
+
+    The standard pretraining hygiene step (strip eval-set overlap from
+    training data).  Plan shape: benchmark shingles are DISTINCT and
+    **broadcast** (eval sets are tiny vs the corpus), so the corpus
+    shingle table never shuffles — one scan, map-side semi-join, one
+    aggregation.  Output: (doc_id, n_contaminated) for corpus docs with
+    ≥1 overlapping shingle.
+    """
+    corpus_sh = with_shingles(docs, n, id_col, text_col)
+    bench_sh = with_shingles(benchmark, n, id_col, text_col).select("shingle").distinct()
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    return hits.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + Jaccard
 # ---------------------------------------------------------------------------

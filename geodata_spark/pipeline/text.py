@@ -128,6 +128,41 @@ def quality_score_sql(expr: str, dialect: str) -> str:
     return f"CAST((0.5 * {len_ok} + 0.25 * {word_ok} + 0.25 * {punct_ok}) AS DOUBLE)"
 
 
+EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PAT = r"\+?[0-9][0-9()\x2d ]{6,}[0-9]"
+
+
+def redact_sql(expr: str, dialect: str) -> str:
+    """PII scrubbing: emails → <EMAIL>, phone-number-shaped digit runs
+    → <PHONE>.  Same regex source both engines (rr handles the escape
+    dialect split); emails first so their digits can't half-match the
+    phone pattern."""
+    x = rr(expr, EMAIL_PAT, "<EMAIL>", dialect)
+    return rr(x, PHONE_PAT, "<PHONE>", dialect)
+
+
+def with_redaction(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach redacted text + per-doc removal stats (Spark side)."""
+    red = F.expr(redact_sql(text_col, "spark"))
+    return (
+        docs.withColumn("text_redacted", red)
+        .withColumn(
+            "n_emails",
+            (
+                (F.length("text_redacted") - F.length(F.replace(F.col("text_redacted"), F.lit("<EMAIL>"), F.lit(""))))
+                / F.lit(len("<EMAIL>"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_phones",
+            (
+                (F.length("text_redacted") - F.length(F.replace(F.col("text_redacted"), F.lit("<PHONE>"), F.lit(""))))
+                / F.lit(len("<PHONE>"))
+            ).cast("long"),
+        )
+    )
+
+
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat set as columns (Spark side)."""
     d = "spark"

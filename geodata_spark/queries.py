@@ -1595,6 +1595,111 @@ FROM gridv WHERE hour = 0
 """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen: corpus docs sharing any word
+    3-gram with the held-out benchmark slice (doc_id % 97 == 0) are
+    flagged with their overlap count — the standard eval-set hygiene
+    pass, shaped as a broadcast semi-join so the corpus shingle table
+    never shuffles."""
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return DD.contamination_screen(corpus, bench, n=3)
+
+
+_DECONTAM_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, {TX.normalize_sql('text', 'duckdb')} AS norm
+  FROM documents
+),
+tl AS (SELECT id, string_split(norm, ' ') AS t FROM d),
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM tl
+  )
+  WHERE shingle IS NOT NULL
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0)
+SELECT sh.id AS doc_id, count(*) AS n_contaminated
+FROM sh JOIN bench USING (shingle)
+WHERE sh.id % 97 <> 0
+GROUP BY 1
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones → placeholder tokens) over the
+    corpus with deterministically planted PII — per-doc removal counts
+    plus the md5 of the redacted text, so the oracle checks the exact
+    redacted bytes, not just the counts."""
+    from geodata_spark.pipeline import text as TXm
+
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" contact alice.b@example.com now"))
+            .when(F.col("doc_id") % 5 == 1, F.lit(" call +1 (415) 555-0133 today"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    out = TXm.with_redaction(planted)
+    return out.select(
+        "doc_id", "n_emails", "n_phones",
+        F.md5("text_redacted").alias("redacted_md5"),
+        F.length("text_redacted").cast("long").alias("redacted_len"),
+    )
+
+
+def _pii_redact_sql() -> str:
+    from geodata_spark.pipeline.text import redact_sql
+
+    planted = (
+        "text || (CASE WHEN doc_id % 5 = 0 THEN ' contact alice.b@example.com now' "
+        "WHEN doc_id % 5 = 1 THEN ' call +1 (415) 555-0133 today' ELSE '' END)"
+    )
+    red = redact_sql(f"({planted})", "duckdb")
+    n_e = f"CAST((length({red}) - length(replace({red}, '<EMAIL>', ''))) / 7 AS BIGINT)"
+    n_p = f"CAST((length({red}) - length(replace({red}, '<PHONE>', ''))) / 7 AS BIGINT)"
+    return f"""
+SELECT doc_id, {n_e} AS n_emails, {n_p} AS n_phones,
+       md5({red}) AS redacted_md5,
+       length({red}) AS redacted_len
+FROM documents
+"""
+
+
+def q_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length quantiles (linear
+    interpolation on sorted values — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the definition; compared at 6 dp)."""
+    docs = _docs(spark, sf_dir)
+    qs = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    agg = docs.groupBy("lang").agg(qs.alias("q"), F.count(F.lit(1)).alias("n_docs"))
+    return agg.select(
+        "lang", "n_docs",
+        F.round(F.col("q")[0], 6).alias("q25"),
+        F.round(F.col("q")[1], 6).alias("q50"),
+        F.round(F.col("q")[2], 6).alias("q75"),
+        F.round(F.col("q")[3], 6).alias("q95"),
+    )
+
+
+_DOC_QUANTILES_SQL = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS q25,
+       round(quantile_cont(n_chars, 0.5), 6) AS q50,
+       round(quantile_cont(n_chars, 0.75), 6) AS q75,
+       round(quantile_cont(n_chars, 0.95), 6) AS q95
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pretraining sequence packing (concat-and-chunk, 2048-token
     context) — distributed two-phase prefix sum (shard-local running
@@ -1891,6 +1996,9 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "pack_chunks": q_pack_chunks,
     "dataset_split": q_dataset_split,
+    "decontamination": q_decontamination,
+    "pii_redact": q_pii_redact,
+    "doc_quantiles": q_doc_quantiles,
 }
 
 ORACLES = {
@@ -1944,4 +2052,7 @@ ORACLES = {
     "embed_neardup": _embed_neardup_sql(),
     "pack_chunks": PK.pack_chunks_sql(),
     "dataset_split": _dataset_split_sql(),
+    "decontamination": _DECONTAM_SQL,
+    "pii_redact": _pii_redact_sql(),
+    "doc_quantiles": _DOC_QUANTILES_SQL,
 }

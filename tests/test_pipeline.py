@@ -317,3 +317,36 @@ def test_dataset_split_deterministic_and_partitions(spark):
     assert da == db and set(da) == {"train", "val", "test"}
     n = sum(da.values())
     assert da["train"] / n > 0.7 and da["test"] / n < 0.2
+
+
+def test_contamination_screen_planted(spark):
+    """A corpus doc that copies a benchmark 3-gram must be flagged with
+    the right overlap count; disjoint docs must not appear."""
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "my model says the secret eval answer is something"),  # 3 shared 3-grams
+            (2, "completely disjoint words here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_contaminated for r in DD.contamination_screen(corpus, bench, n=3).collect()}
+    assert out == {1: 3}  # 'the secret eval','secret eval answer','eval answer is'
+
+
+def test_redaction_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at Bob.smith+x@Sub.Example.org thanks"),
+            (2, "call +1 (415) 555-0133 or 020 7946 0958 now"),
+            (3, "no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.with_redaction(df).collect()}
+    assert "<EMAIL>" in out[1].text_redacted and "@" not in out[1].text_redacted
+    assert out[1].n_emails == 1 and out[1].n_phones == 0
+    assert out[2].text_redacted.count("<PHONE>") == 2 and out[2].n_phones == 2
+    assert out[3].text_redacted == "no pii at all"
