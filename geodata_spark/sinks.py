@@ -132,3 +132,36 @@ def read_table(
     if path is None:
         raise ValueError("no Iceberg catalog configured and no fallback path given")
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_col: str,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Bucketed catalog-table sink — the co-located-join layout.
+
+    Two tables bucketed the same way (same ``n_buckets``, same
+    ``bucket_col``) join with NO shuffle exchange on either side, and
+    a groupBy on the bucket column aggregates without an exchange:
+    the scan itself reports hash output-partitioning.  This is the
+    cell-id co-location story of the north rule expressed in Spark's
+    catalog layer (the parquet-catalog analog of Iceberg's ``bucket``
+    partition transform); the prepared bench path gets the same effect
+    positionally via repartitionByRange + sortWithinPartitions, but a
+    catalog table makes it durable across sessions and queries.
+    Plan shape pinned in tests/test_resource_sinks.py.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+    return {
+        "sink": "bucketed_table",
+        "table": table,
+        "n_buckets": n_buckets,
+        "bucket_col": bucket_col,
+    }

@@ -97,3 +97,34 @@ def test_write_table_requires_path_without_catalog(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         sinks.write_table(df, "db.t")
+
+
+def test_bucketed_tables_join_and_agg_without_shuffle(spark, tmp_path):
+    """Co-located cell join: two tables bucketed on the same key must
+    sort-merge-join with zero Exchange nodes, and a groupBy on the
+    bucket key must aggregate without an exchange — the durable form
+    of cell-id co-location (north rule)."""
+    from pyspark.sql import functions as F
+
+    from geodata_spark import sinks
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(20000).select(
+            (F.col("id") % 997).alias("cell_r9"), (F.col("id") * 3).alias("val")
+        )
+        sinks.write_bucketed(df, "bkt_a", 8, "cell_r9", sort_col="cell_r9")
+        sinks.write_bucketed(df, "bkt_b", 8, "cell_r9", sort_col="cell_r9")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "cell_r9")
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan and "Bucketed: true" in jplan
+        assert j.count() > 0  # executes, not just plans
+        agg = spark.table("bkt_a").groupBy("cell_r9").agg(F.sum("val"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan
+        assert agg.count() == 997
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
