@@ -148,7 +148,8 @@ def flagship_prepared(spark, n_docs: int):
         "w", zonal.oracle_area_weight_expr(F.col("lat"))
     ).withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("int"))
     return zonal.zonal_weighted_mean(
-        weighted, "val", "w", ["zone_id", "day_idx"], salt_buckets=8, out_col="wavg"
+        weighted, "val", "w", ["zone_id", "day_idx"], salt_buckets=8, out_col="wavg",
+        salt_cols=["lat", "lon", "hour"],  # high-cardinality, already read
     )
 
 
@@ -166,7 +167,8 @@ def flagship(spark, n_docs: int):
         "w", zonal.oracle_area_weight_expr(F.col("lat"))
     ).withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("int"))
     return zonal.zonal_weighted_mean(
-        weighted, "val", "w", ["zone_id", "day_idx"], salt_buckets=8, out_col="wavg"
+        weighted, "val", "w", ["zone_id", "day_idx"], salt_buckets=8, out_col="wavg",
+        salt_cols=["lat", "lon", "hour"],  # high-cardinality, already read
     )
 
 
@@ -306,8 +308,15 @@ def scaling() -> dict:
                 timeout=3600,
                 env=env,
             )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
+            json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode != 0 or not json_lines:
+                # surface the child's stderr instead of dying on a bare
+                # IndexError an hour into the sweep
+                raise RuntimeError(
+                    f"--run-one {master} failed (rc={proc.returncode}); "
+                    f"stderr tail:\n{proc.stderr[-2000:]}"
+                )
+            r = json.loads(json_lines[-1])
             if master not in results or r["sec"] < results[master]["sec"]:
                 results[master] = r
     t2, t8, t32 = (results[m]["sec"] for m in masters)

@@ -236,6 +236,10 @@ def filter_area(
             cands.groupBy("cell").agg(F.min("label").alias("new_label"))
             .join(active.select("cell", "label"), "cell")  # keep only real cells
         )
+        # materialize BEFORE the self-join: `parent` below re-reads
+        # hooked, and without a checkpoint the 5-way-union/groupBy/join
+        # subtree would execute twice per round
+        hooked = hooked.localCheckpoint(eager=True)
         # shortcut: label ← label(label).  Labels are always ids of
         # live cells (they start as own ids and only move to existing
         # labels), so the self-join below is total.

@@ -69,8 +69,11 @@ def pack_chunks(
     bases = totals.withColumn(
         "_base", F.sum("_shard_tot").over(w_base) - F.col("_shard_tot")
     ).select("_shard", "_base")
+    # integer `div`, not double `/`: a double quotient loses exactness
+    # past 2^53 total tokens (reachable at pretraining scale) and the
+    # DuckDB oracle uses exact integer `//`
     packed = local.join(F.broadcast(bases), "_shard").withColumn(
-        "_chunk", ((F.col("_base") + F.col("_off_local")) / F.lit(context_len)).cast("long")
+        "_chunk", F.expr(f"(_base + _off_local) div {int(context_len)}")
     )
     return packed.groupBy(F.col("_chunk").alias("chunk_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -142,23 +142,22 @@ def redact_sql(expr: str, dialect: str) -> str:
 
 
 def with_redaction(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach redacted text + per-doc removal stats (Spark side)."""
+    """Attach redacted text + per-doc removal stats (Spark side).
+
+    Counts are pattern matches on the PRE-redaction text (emails on the
+    raw text, phones on the email-redacted intermediate, mirroring the
+    sequential redaction) — counting placeholder occurrences in the
+    output would be inflated by source text that literally contains
+    "<EMAIL>"/"<PHONE>"."""
+    after_email = F.expr(rr(text_col, EMAIL_PAT, "<EMAIL>", "spark"))
     red = F.expr(redact_sql(text_col, "spark"))
     return (
         docs.withColumn("text_redacted", red)
         .withColumn(
-            "n_emails",
-            (
-                (F.length("text_redacted") - F.length(F.replace(F.col("text_redacted"), F.lit("<EMAIL>"), F.lit(""))))
-                / F.lit(len("<EMAIL>"))
-            ).cast("long"),
+            "n_emails", F.regexp_count(F.col(text_col), F.lit(EMAIL_PAT)).cast("long")
         )
         .withColumn(
-            "n_phones",
-            (
-                (F.length("text_redacted") - F.length(F.replace(F.col("text_redacted"), F.lit("<PHONE>"), F.lit(""))))
-                / F.lit(len("<PHONE>"))
-            ).cast("long"),
+            "n_phones", F.regexp_count(after_email, F.lit(PHONE_PAT)).cast("long")
         )
     )
 

@@ -50,7 +50,8 @@ def q_zonal_daily_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_idx", (F.col("hour") / F.lit(24)).cast("int")
     )
     out = zonal.zonal_weighted_mean(
-        weighted, "val", "w", ["zone_id", "day_idx"], salt_buckets=8, out_col="wavg"
+        weighted, "val", "w", ["zone_id", "day_idx"], salt_buckets=8, out_col="wavg",
+        salt_cols=["lat", "lon", "hour"],  # high-cardinality, already read
     )
     return out.select(
         "zone_id",
@@ -1635,8 +1636,6 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with deterministically planted PII — per-doc removal counts
     plus the md5 of the redacted text, so the oracle checks the exact
     redacted bytes, not just the counts."""
-    from geodata_spark.pipeline import text as TXm
-
     docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
     planted = docs.withColumn(
         "text",
@@ -1647,7 +1646,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
         ),
     )
-    out = TXm.with_redaction(planted)
+    out = TX.with_redaction(planted)
     return out.select(
         "doc_id", "n_emails", "n_phones",
         F.md5("text_redacted").alias("redacted_md5"),
@@ -1656,15 +1655,18 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_redact_sql() -> str:
-    from geodata_spark.pipeline.text import redact_sql
+    from geodata_spark.pipeline.text import EMAIL_PAT, PHONE_PAT, redact_sql, rr
 
     planted = (
         "text || (CASE WHEN doc_id % 5 = 0 THEN ' contact alice.b@example.com now' "
         "WHEN doc_id % 5 = 1 THEN ' call +1 (415) 555-0133 today' ELSE '' END)"
     )
     red = redact_sql(f"({planted})", "duckdb")
-    n_e = f"CAST((length({red}) - length(replace({red}, '<EMAIL>', ''))) / 7 AS BIGINT)"
-    n_p = f"CAST((length({red}) - length(replace({red}, '<PHONE>', ''))) / 7 AS BIGINT)"
+    after_email = rr(f"({planted})", EMAIL_PAT, "<EMAIL>", "duckdb")
+    # counts = pattern matches on the pre-redaction text (emails on the
+    # raw text, phones after email redaction), same as with_redaction
+    n_e = f"CAST(len(regexp_extract_all(({planted}), '{EMAIL_PAT}')) AS BIGINT)"
+    n_p = f"CAST(len(regexp_extract_all({after_email}, '{PHONE_PAT}')) AS BIGINT)"
     return f"""
 SELECT doc_id, {n_e} AS n_emails, {n_p} AS n_phones,
        md5({red}) AS redacted_md5,
@@ -1706,8 +1708,6 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets + broadcast shard bases) vs the oracle's single global
     running sum over the identical total order; md5_60 hash mode makes
     layout order and chunk cuts bit-identical across engines."""
-    from geodata_spark.pipeline import packing as PK
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return PK.pack_chunks(docs, context_len=2048, n_shards=16, hash_mode="md5_60")
 
@@ -1716,25 +1716,19 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket train/val/test split (80/10/10) with
     per-(split, lang) doc and token counts — stable across runs,
     engines and retries (no RNG state)."""
-    from geodata_spark.pipeline import packing as PK
-    from geodata_spark.pipeline.text import token_count_sql
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = PK.dataset_split(docs, hash_mode="md5_60")
     return out.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.expr(token_count_sql("text", "spark")).cast("long")).alias("n_tokens"),
+        F.sum(F.expr(TX.token_count_sql("text", "spark")).cast("long")).alias("n_tokens"),
     )
 
 
 def _dataset_split_sql() -> str:
-    from geodata_spark.pipeline import packing as PK
-    from geodata_spark.pipeline.text import token_count_sql
-
     return f"""
 SELECT {PK.split_expr_sql()} AS split, lang,
        count(*) AS n_docs,
-       CAST(sum(CAST({token_count_sql('text', 'duckdb')} AS BIGINT)) AS BIGINT) AS n_tokens
+       CAST(sum(CAST({TX.token_count_sql('text', 'duckdb')} AS BIGINT)) AS BIGINT) AS n_tokens
 FROM documents
 GROUP BY 1, 2
 """

@@ -141,8 +141,12 @@ def streaming_dedup_first_seen(
     if state_mode not in ("exact", "bloom"):
         raise ValueError(f"state_mode must be 'exact' or 'bloom', got {state_mode!r}")
 
+    # doc_id keeps its ORIGINAL dtype here so the same-batch survivor
+    # pick below is the native-type min (numeric min for numeric ids),
+    # exactly like the batch twin's F.min(id_col); the cast to string
+    # happens only at emission.
     with_fp = docs_stream.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id"),
         F.expr(f"md5({normalize_sql('text', 'spark')})").alias("fingerprint"),
     ).withColumn("fp_prefix", F.substring("fingerprint", 1, prefix_len))
 
@@ -170,7 +174,7 @@ def streaming_dedup_first_seen(
             yield pd.DataFrame(
                 {
                     "fp_prefix": key[0],
-                    "doc_id": fresh["doc_id"].to_numpy(),
+                    "doc_id": fresh["doc_id"].astype(str).to_numpy(),
                     "fingerprint": fresh["fingerprint"].to_numpy(),
                 }
             )
@@ -210,7 +214,7 @@ def streaming_dedup_first_seen(
             yield pd.DataFrame(
                 {
                     "fp_prefix": key[0],
-                    "doc_id": fresh["doc_id"].to_numpy(),
+                    "doc_id": fresh["doc_id"].astype(str).to_numpy(),
                     "fingerprint": fresh["fingerprint"].to_numpy(),
                 }
             )

@@ -89,9 +89,13 @@ def zonal_weighted_mean(
     default) silently defeated column pruning: the scan had to read
     and hash unrelated strings (doc_id, kind, ts) per row, which
     profiling showed costing 2.2× on the whole prepared flagship.
-    Value/weight vary within a hot key group, so the spread is as good;
-    rows identical in (keys, v, w) landing in one bucket is harmless
-    (sums are algebraic over all rows).
+    Rows identical in (keys, v, w) landing in one bucket is harmless
+    for correctness (sums are algebraic over all rows) — but if value
+    AND weight are near-constant within a hot key (e.g. uniform
+    weight=1 counting workloads), the default collapses the hot key
+    into one bucket and the skew protection is lost: pass
+    ``salt_cols`` explicitly with any high-cardinality columns the
+    query already reads (the flagship passes lat/lon/hour).
     """
     v, w = F.col(value_col), F.col(weight_col)
     if salt_buckets is None:

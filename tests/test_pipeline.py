@@ -350,3 +350,11 @@ def test_redaction_patterns(spark):
     assert out[1].n_emails == 1 and out[1].n_phones == 0
     assert out[2].text_redacted.count("<PHONE>") == 2 and out[2].n_phones == 2
     assert out[3].text_redacted == "no pii at all"
+    # counts come from pattern matches on the source, not placeholder
+    # occurrences in the output: literal "<EMAIL>" in the source must
+    # not inflate n_emails
+    df2 = spark.createDataFrame(
+        [(9, "the <EMAIL> placeholder doc, write a@b.co")], "doc_id long, text string"
+    )
+    r9 = TX.with_redaction(df2).collect()[0]
+    assert r9.n_emails == 1 and r9.text_redacted.count("<EMAIL>") == 2

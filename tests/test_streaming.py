@@ -149,6 +149,11 @@ def test_streaming_dedup_same_batch_survivor_is_min_id(spark, tmp_path):
     assert len(got) == 2 == len(by_fp)
     assert 3 in by_fp.values()  # min of {7,3,9} survives
     assert 7 not in by_fp.values() and 9 not in by_fp.values()
+    # NUMERIC min, not lexicographic-on-string: {9, 10} must keep 9
+    # ("10" < "9" as strings — the batch twin mins the native type)
+    rows2 = [(10, "other dup"), (9, "other dup")]
+    got2 = _run_dedup_once(spark, tmp_path, rows2, "dedup_numeric_min")
+    assert [int(r.doc_id) for r in got2] == [9]
 
 
 def test_streaming_dedup_bloom_state_bounded(spark, tmp_path):
