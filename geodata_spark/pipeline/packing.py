@@ -10,12 +10,14 @@ Two operators a training-data pipeline needs downstream of dedup:
 
   Scale shape: a naive global cumulative sum is a single-partition
   window (the classic Spark scale trap).  Here the prefix sum is
-  **two-phase**: documents shard by hash; each shard computes a local
-  running offset (window partitioned BY SHARD — parallel), shard
-  totals (one tiny agg) turn into per-shard base offsets, and
-  global_offset = shard_base + local_offset.  Equivalent to the serial
-  scan under the total order (shard, h, id) — which is exactly what
-  the DuckDB oracle evaluates with one global window.
+  **two-phase**: documents shard by monotone hash-range bins; each
+  shard computes a local running offset (window partitioned BY SHARD —
+  parallel), shard totals (one tiny agg) turn into per-shard base
+  offsets, and global_offset = shard_base + local_offset.  Because the
+  bins are monotone in the hash, the result equals the serial scan
+  under the plain total order (h, id) — independent of ``n_shards``,
+  so resizing the cluster never re-cuts chunks, and the DuckDB oracle
+  evaluates the same layout with one global window.
 
 - :func:`dataset_split` — deterministic train/val/test assignment by
   integer hash bucket of the document id: stable across runs, engines
@@ -47,14 +49,27 @@ def pack_chunks(
 
     ``n_shards`` bounds window-partition size: set it to O(cluster
     cores) in production so every executor runs one shard-local
-    running sum; the cross-shard carry is a broadcast of ``n_shards``
+    running sum; the cross-shard carry is a broadcast of the per-shard
     base offsets, never a shuffle of the corpus.
+
+    Shards are **monotone hash-range bins** (top bits of the hash, via
+    arithmetic shift), NOT ``hash % n_shards``: with range bins the
+    total layout order (shard, h, id) collapses to plain (h, id), so
+    the packed dataset is byte-identical no matter how many shards the
+    cluster runs — ``n_shards`` is a pure parallelism knob, resizing
+    the cluster can never silently re-cut every chunk (round-3
+    advice).  The bin count rounds up to the next power of two.
     """
     tok = F.expr(token_count_sql(text_col, "spark")).cast("long")
     h = hash60(F.col(id_col).cast("string"), _SEED, hash_mode)
+    # smallest s with 2^(bits - s) >= n_shards; shiftright is an
+    # arithmetic shift, monotone over the full signed range xxhash64
+    # emits, so shard order == hash order by construction
+    bits = 64 if hash_mode == "xxhash64" else 60
+    shift = max(0, bits - max(1, (int(n_shards) - 1).bit_length()))
     d = docs.select(
         F.col(id_col).alias("_id"), tok.alias("_tok"), h.alias("_h")
-    ).withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)))
+    ).withColumn("_shard", F.shiftright(F.col("_h"), shift))
     w_local = (
         Window.partitionBy("_shard")
         .orderBy("_h", "_id")
@@ -88,20 +103,20 @@ def pack_chunks_sql(
     text_col: str = "text",
     table: str = "documents",
 ) -> str:
-    """DuckDB twin: ONE global running sum over the identical total
-    order (shard, h, id) — the serial semantics the two-phase Spark
-    plan must reproduce."""
+    """DuckDB twin: ONE global running sum over the total order
+    (h, id).  Spark's shards are monotone hash-range bins, so the
+    two-phase order (shard, h, id) IS (h, id) — the oracle never
+    mentions ``n_shards`` because the layout is shard-count-free."""
     tok = token_count_sql(text_col, "duckdb")
     h = hash60_sql(f"CAST({id_col} AS VARCHAR)", _SEED)
     return f"""
 WITH d AS (
-  SELECT {id_col} AS id, CAST({tok} AS BIGINT) AS tok, {h} AS h,
-         {h} % {n_shards} AS shard
+  SELECT {id_col} AS id, CAST({tok} AS BIGINT) AS tok, {h} AS h
   FROM {table}
 ),
 laid AS (
   SELECT id, tok,
-         sum(tok) OVER (ORDER BY shard, h, id
+         sum(tok) OVER (ORDER BY h, id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
            AS goff
   FROM d

@@ -52,12 +52,38 @@ def iceberg_catalog(spark: SparkSession, catalog: str | None = None) -> str | No
         # application-classloader Class.forName can't see — that gate
         # silently downgraded a properly configured Iceberg sink to
         # parquet (round-2 advice)
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
         try:
-            spark.sparkContext._jvm.org.apache.spark.util.Utils.classForName(  # noqa: SLF001
-                impl, True, False
-            )
+            jvm.org.apache.spark.util.Utils.classForName(impl, True, False)
             return name
-        except Exception:
+        except Exception as exc:
+            # Only a definite ClassNotFoundException means "jar absent".
+            # Utils.classForName is PRIVATE Spark API — a signature
+            # change or py4j reflection failure must NOT masquerade as
+            # a missing jar and silently downgrade a correctly
+            # configured Iceberg sink to parquet (round-3 advice):
+            # re-probe through the public context classloader first.
+            if "ClassNotFoundException" not in str(exc):
+                try:
+                    jvm.java.lang.Thread.currentThread().getContextClassLoader().loadClass(impl)
+                    return name
+                except Exception as exc2:
+                    if "ClassNotFoundException" not in str(exc2):
+                        # both probes failed for NON-class-resolution
+                        # reasons (internal-API drift / py4j breakage):
+                        # trust the explicit configuration and attempt
+                        # the Iceberg write — a real failure will then
+                        # surface loudly instead of a silent downgrade
+                        import warnings
+
+                        warnings.warn(
+                            f"Iceberg catalog probe for {name!r} failed for "
+                            f"reasons other than a missing class "
+                            f"({exc2!r}); trusting the configuration and "
+                            f"attempting the Iceberg write.",
+                            stacklevel=2,
+                        )
+                        return name
             import warnings
 
             warnings.warn(

@@ -193,11 +193,22 @@ def streaming_dedup_first_seen(
             return (h1[:, None] + j[None, :] * (h2[:, None] | 1)) % np.uint64(bloom_bits)
 
         def dedup(key, pdf_iter, state: GroupState):
-            bits = (
-                np.frombuffer(state.get[0], dtype=np.uint8).copy()
-                if state.exists
-                else np.zeros(n_bytes, dtype=np.uint8)
-            )
+            if state.exists:
+                stored = state.get[0]
+                # a checkpoint written under a different bloom_bits is
+                # NOT reinterpretable: a smaller buffer would IndexError
+                # mid-stream, a larger one silently flips membership
+                # (dropped or re-emitted docs).  Fail fast instead.
+                if len(stored) != n_bytes:
+                    raise ValueError(
+                        f"bloom state width mismatch: checkpoint holds "
+                        f"{len(stored)} bytes but bloom_bits={bloom_bits} "
+                        f"needs {n_bytes}. Restart with the original "
+                        f"bloom_bits or a fresh checkpoint directory."
+                    )
+                bits = np.frombuffer(stored, dtype=np.uint8).copy()
+            else:
+                bits = np.zeros(n_bytes, dtype=np.uint8)
             surv = _batch_survivors(pdf_iter)
             if len(surv):
                 idx = _probe_idx(surv["fingerprint"])

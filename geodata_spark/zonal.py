@@ -95,9 +95,25 @@ def zonal_weighted_mean(
     weight=1 counting workloads), the default collapses the hot key
     into one bucket and the skew protection is lost: pass
     ``salt_cols`` explicitly with any high-cardinality columns the
-    query already reads (the flagship passes lat/lon/hour).
+    query already reads (the flagship passes lat/lon/hour).  Relying
+    on the default with ``salt_buckets`` set emits a ``UserWarning``
+    so the hazard is visible at call time, not in a skewed-stage
+    post-mortem.
     """
     v, w = F.col(value_col), F.col(weight_col)
+    if salt_buckets is not None and salt_cols is None:
+        import warnings
+
+        warnings.warn(
+            "zonal_weighted_mean: salt_buckets set without explicit "
+            "salt_cols — the default salt hashes (keys, value, weight), "
+            "which collapses to ONE bucket when value and weight are "
+            "near-constant within a hot key (e.g. weight=1 counting). "
+            "Pass salt_cols with high-cardinality columns the query "
+            "already reads.",
+            UserWarning,
+            stacklevel=2,
+        )
     if salt_buckets is None:
         return df.groupBy(*keys).agg(
             (F.sum(v * w) / F.sum(w)).alias(out_col),

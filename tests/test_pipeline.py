@@ -305,6 +305,18 @@ def test_pack_chunks_invariants_and_parallel_window(spark):
     assert (pdf.n_tokens[:-1] > 0).all()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_shard" in plan and "Window" in plan
+    # shards are monotone hash-range bins, so the packed layout is
+    # INDEPENDENT of n_shards: resizing the cluster's parallelism knob
+    # must never re-cut a single chunk (round-3 advice)
+    for n_shards, mode in [(4, "md5_60"), (64, "md5_60"), (16, "xxhash64")]:
+        alt = (
+            PK.pack_chunks(docs, context_len=L, n_shards=n_shards, hash_mode=mode)
+            .toPandas().sort_values("chunk_id").reset_index(drop=True)
+        )
+        if mode == "md5_60":
+            assert alt.equals(pdf), f"layout changed at n_shards={n_shards}"
+        else:  # different hash → different layout, but same invariants
+            assert alt.n_tokens.sum() == total_tok
 
 
 def test_dataset_split_deterministic_and_partitions(spark):

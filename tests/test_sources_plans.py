@@ -88,7 +88,9 @@ def test_flagship_plan_single_scan_no_python(spark, corpus_parquet):
     pts = spatial.parse_geo_spans(docs)
     zoned = spatial.join_zones(pts, spark, ZONES, res=9, strategy="expr")
     w = zoned.withColumn("w", zonal.oracle_area_weight_expr(F.col("lat")))
-    out = zonal.zonal_weighted_mean(w, "val", "w", ["zone_id"], salt_buckets=8)
+    out = zonal.zonal_weighted_mean(
+        w, "val", "w", ["zone_id"], salt_buckets=8, salt_cols=["lat", "lon", "hour"]
+    )
     plan = _plan(out)
     assert plan.count("FileScan parquet") + plan.count("Scan parquet") >= 1
     assert "BroadcastHashJoin" in plan, "zone cover must broadcast"
@@ -133,7 +135,14 @@ def test_salt_is_deterministic(spark):
         [(i % 3, float(i), 1.0, i) for i in range(64)],
         ["zone_id", "val", "w", "row_id"],
     )
-    out = zonal.zonal_weighted_mean(df, "val", "w", ["zone_id"], salt_buckets=8)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = zonal.zonal_weighted_mean(df, "val", "w", ["zone_id"], salt_buckets=8)
+    # default salt_cols + salt_buckets is a documented skew hazard
+    # (constant value/weight collapses the salt) — must warn loudly
+    assert any("salt_cols" in str(w.message) for w in caught)
     plan = _plan(out)
     assert "monotonically_increasing_id" not in plan
     # the salt expression is a pure function of row columns: two

@@ -159,8 +159,9 @@ def test_streaming_dedup_same_batch_survivor_is_min_id(spark, tmp_path):
 def test_streaming_dedup_bloom_state_bounded(spark, tmp_path):
     """Bloom state mode: same first-seen semantics on a no-collision
     workload, with state capped at bloom_bits/8 bytes per shard."""
-    # same-width ids so lexicographic min == numeric min (doc_id is a
-    # string column, matching the batch twin's F.min on string ids)
+    # survivor per fingerprint is the NUMERIC min of the int ids —
+    # streaming_dedup_first_seen keeps the native dtype, matching the
+    # batch twin's native-type min (pinned by the sibling test above)
     rows = [(100 + i, f"bloom body {i}") for i in range(30)] + [
         (500 + i, f"bloom body {i}") for i in range(10)
     ]
