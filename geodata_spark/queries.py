@@ -1938,6 +1938,28 @@ FROM m
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
+# SQL surface twins: the SAME semantics via spark.sql over temp views
+# (sql_surface.py) — each pairs with the oracle of its DataFrame twin,
+# so a green row proves the two entry styles are interchangeable.
+# ---------------------------------------------------------------------------
+
+def _q_sql(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geodata_spark import sql_surface as S
+
+        return S.run_sql(spark, sf_dir, name)
+
+    run.__doc__ = f"spark.sql twin of {name[4:]} over registered temp views."
+    return run
+
+
+q_sql_zonal_daily_wavg = _q_sql("sql_zonal_daily_wavg")
+q_sql_tpch_pricing = _q_sql("sql_tpch_pricing")
+q_sql_text_stats = _q_sql("sql_text_stats")
+q_sql_events_topk = _q_sql("sql_events_topk")
+
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "zonal_daily_wavg": q_zonal_daily_wavg,
@@ -1993,6 +2015,10 @@ QUERIES = {
     "decontamination": q_decontamination,
     "pii_redact": q_pii_redact,
     "doc_quantiles": q_doc_quantiles,
+    "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
+    "sql_tpch_pricing": q_sql_tpch_pricing,
+    "sql_text_stats": q_sql_text_stats,
+    "sql_events_topk": q_sql_events_topk,
 }
 
 ORACLES = {
@@ -2049,4 +2075,10 @@ ORACLES = {
     "decontamination": _DECONTAM_SQL,
     "pii_redact": _pii_redact_sql(),
     "doc_quantiles": _DOC_QUANTILES_SQL,
+    # SQL-surface twins reuse their DataFrame twin's oracle verbatim:
+    # same rows through a different (spark.sql) front door
+    "sql_zonal_daily_wavg": _ZONAL_SQL,
+    "sql_tpch_pricing": TP.pricing_summary_sql(),
+    "sql_text_stats": _text_stats_sql(),
+    "sql_events_topk": _EVENTS_TOPK_SQL,
 }
