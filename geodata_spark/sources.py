@@ -11,7 +11,9 @@ Catalyst pushes into the scan:
 =====  ==========================================  ====================
 ref    semantics                                     here
 =====  ==========================================  ====================
-S1-S3  per-month variable scan + rename/derive      read_cutout (+convert)
+S1-S3  per-month variable scan + rename/derive      read_cutout (+convert); read_netcdf
+       (era5.py:392-453, merra2.py:208-240)         (xarray-gated) → gridded_to_table →
+                                                    era5_prepare / merra2_prepare
 S4     meta scan (coords only)                      meta_scan — distinct on partition cols
 S5     multi-file merge by coords                   multi_file_merge — unionByName
 S7     GeoTIFF raster → table                       raster_to_table (rasterio gated; numpy path real)
@@ -205,3 +207,162 @@ def spinup_stream_id(year: int, month: int) -> str:
     if year == 2020 and month == 9:
         return "401"
     return "400"
+
+
+# ---------------------------------------------------------------------------
+# NetCDF on-ramp (S1-S3 against REAL files; xarray-gated like read_geotiff)
+# ---------------------------------------------------------------------------
+
+def gridded_to_table(
+    spark: SparkSession,
+    coords: dict,
+    variables: dict,
+) -> DataFrame:
+    """Dense (time, lat, lon) variable cubes → canonical long table.
+
+    ``coords`` maps ``ts``/``lat``/``lon`` to 1-D arrays; ``variables``
+    maps names to (nt, ny, nx) cubes.  One Arrow transfer of the
+    flattened cubes — no per-row Python.  This is the engine half of
+    the NetCDF scan: :func:`read_netcdf` feeds it from xarray, tests
+    feed it numpy fakes (xarray is absent from this image).
+
+    Scale note: one .nc month is O(100 MB) — a single driver-side
+    Arrow batch per file is the right grain; parallelism at 100 TB
+    comes from reading MANY months (one task per file via the lineage
+    runner), not from splitting one cube.
+    """
+    import pandas as pd
+
+    ts = np.asarray(coords["ts"])
+    lat = np.asarray(coords["lat"], dtype=np.float64)
+    lon = np.asarray(coords["lon"], dtype=np.float64)
+    nt, ny, nx = len(ts), len(lat), len(lon)
+    cols = {
+        "ts": np.repeat(ts, ny * nx),
+        "lat": np.tile(np.repeat(lat, nx), nt),
+        "lon": np.tile(lon, nt * ny),
+    }
+    for name, cube in variables.items():
+        arr = np.asarray(cube, dtype=np.float64)
+        if arr.shape != (nt, ny, nx):
+            raise ValueError(
+                f"variable {name!r} has shape {arr.shape}, want {(nt, ny, nx)}"
+            )
+        cols[name] = arr.ravel()
+    return spark.createDataFrame(pd.DataFrame(cols))
+
+
+def era5_prepare(df: DataFrame) -> DataFrame:
+    """S1-S3 — ERA5 monthly rename/derive as pure Catalyst expressions
+    (reference ``datasets/era5.py:392-453``):
+
+    - fdir→influx_direct, tisr→influx_toa
+    - albedo = (ssrd − ssr)/ssrd, 0 where ssrd = 0 (the reference's
+      errstate-ignore + fillna(0): on physical inputs ssr ≤ ssrd so
+      ssrd = 0 forces ssr = 0 and 0/0→NaN→0 — the explicit branch is
+      the same function without manufacturing NaN/Inf)
+    - influx_diffuse = ssrd − influx_direct
+    - influx_* : clip ≥ 0, J m⁻² → W m⁻² (÷3600)
+    - wnd100m = √(u100² + v100²); drop u100/v100/ssrd/ssr
+    - ro→runoff (clip ≥ 0), t2m→temperature, sp→pressure,
+      stl4→soil_temperature, fsr→roughness
+
+    All whole-stage-codegen arithmetic; Catalyst prunes any variable a
+    downstream query doesn't read back into the scan.
+    """
+    influx_direct, influx_toa = F.col("fdir"), F.col("tisr")
+    ssrd, ssr = F.col("ssrd"), F.col("ssr")
+    albedo = F.when(ssrd != 0.0, (ssrd - ssr) / ssrd).otherwise(F.lit(0.0))
+
+    def e2p(c):  # energy → power, clipped
+        return F.greatest(c, F.lit(0.0)) / F.lit(3600.0)
+
+    keep = [c for c in ("ts", "hour", "lat", "lon") if c in df.columns]
+    return df.select(
+        *keep,
+        e2p(influx_direct).alias("influx_direct"),
+        e2p(influx_toa).alias("influx_toa"),
+        e2p(ssrd - influx_direct).alias("influx_diffuse"),
+        albedo.alias("albedo"),
+        # sqrt(u²+v²), NOT Math.hypot: hypot is correctly-rounded and
+        # differs from the reference's np.sqrt(u**2+v**2) by ULPs
+        F.sqrt(F.col("u100") * F.col("u100") + F.col("v100") * F.col("v100"))
+        .alias("wnd100m"),
+        F.greatest(F.col("ro"), F.lit(0.0)).alias("runoff"),
+        F.col("t2m").alias("temperature"),
+        F.col("sp").alias("pressure"),
+        F.col("stl4").alias("soil_temperature"),
+        F.col("fsr").alias("roughness"),
+    )
+
+
+def merra2_prepare(df: DataFrame) -> DataFrame:
+    """S1-S3 — MERRA2 surface-flux rename/derive
+    (reference ``datasets/merra2.py:208-240``): z0m→roughness,
+    wndlml = √(ulml² + vlml²), temperature = tlml.  Variables the
+    file lacks are simply absent (the reference warns and continues).
+    """
+    out = df
+    if "z0m" in out.columns:
+        out = out.withColumnRenamed("z0m", "roughness")
+    if "ulml" in out.columns and "vlml" in out.columns:
+        out = out.withColumn(
+            "wndlml",
+            F.sqrt(F.col("ulml") * F.col("ulml") + F.col("vlml") * F.col("vlml")),
+        )
+    if "tlml" in out.columns:
+        out = out.withColumn("temperature", F.col("tlml"))
+    return out
+
+
+def read_netcdf(
+    spark: SparkSession,
+    path: str,
+    dataset: str | None = "era5",
+    bounds: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """S1-S3 — NetCDF scan, gated on xarray availability (the library
+    is not in this image — same gate pattern as :func:`read_geotiff`).
+
+    With xarray installed this is the full reference on-ramp
+    (``datasets/era5.py:392-453`` / ``merra2.py:208-240``): open the
+    file, canonicalize coord names, optional bbox subset, emit the
+    long table, then the per-dataset rename/derive — which runs in
+    Spark (:func:`era5_prepare` / :func:`merra2_prepare`), NOT in
+    xarray, so the physics lives in one tested place.
+    """
+    try:
+        import xarray as xr  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "xarray not available in this environment; use gridded_to_table "
+            "with numpy arrays + era5_prepare/merra2_prepare, or install "
+            "xarray in deployment"
+        ) from e
+    with xr.open_dataset(path) as ds:  # pragma: no cover - needs xarray
+        rename = {
+            k: v for k, v in {**CANON_RENAMES, "valid_time": "ts"}.items()
+            if k in ds.coords or k in ds.dims
+        }
+        ds = ds.rename(rename)
+        if bounds is not None:
+            lat_min, lat_max, lon_min, lon_max = bounds
+            ds = ds.sel(
+                lat=slice(lat_min - 0.1, lat_max + 0.1),
+                lon=slice(lon_min - 0.1, lon_max + 0.1),
+            )
+        coords = {
+            "ts": ds["ts"].values,
+            "lat": ds["lat"].values,
+            "lon": ds["lon"].values,
+        }
+        cubes = {
+            name: ds[name].transpose("ts", "lat", "lon").values
+            for name in ds.data_vars
+        }
+    out = gridded_to_table(spark, coords, cubes)
+    if dataset == "era5":
+        return era5_prepare(out)
+    if dataset == "merra2":
+        return merra2_prepare(out)
+    return out
