@@ -28,12 +28,18 @@ FEATURE_SCHEMA = (
 )
 
 
-def attach_payloads(media_spans: DataFrame, payload_bytes: int = 256) -> DataFrame:
-    """Synthesize deterministic binary payloads from media_ref.
+def attach_payloads(
+    media_spans: DataFrame,
+    payload_bytes: int = 256,
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Synthesize deterministic binary payloads from ``ref_col``.
 
     Stands in for fetching blobs from object storage; payload =
     sha256-keystream of the ref, so every engine run (and the test
-    oracle) sees identical bytes.
+    oracle) sees identical bytes.  Pass a content-level ``ref_col``
+    (e.g. the media path with doc-unique segments stripped) to model
+    the real-world case where many documents embed the SAME blob.
     """
 
     @F.pandas_udf("binary")
@@ -45,7 +51,55 @@ def attach_payloads(media_spans: DataFrame, payload_bytes: int = 256) -> DataFra
             out.append((h * reps)[:payload_bytes])
         return pd.Series(out)
 
-    return media_spans.withColumn("payload", _payload(F.col("media_ref")))
+    return media_spans.withColumn("payload", _payload(F.col(ref_col)))
+
+
+def payload_digest(payload: "F.Column") -> "F.Column":
+    """Engine-neutral content digest of a binary payload.
+
+    sha256 over the LOWERCASE HEX encoding of the bytes — not the raw
+    blob — because SQL engines disagree on hashing BLOBs (DuckDB's
+    sha256 only accepts VARCHAR); the hex transcoding is lossless and
+    makes the digest reproducible everywhere.
+    """
+    return F.sha2(F.lower(F.hex(payload)), 256)
+
+
+def media_exact_dedup(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Cluster byte-identical media payloads; one survivor per cluster.
+
+    Output: (digest, n_copies, survivor_doc, survivor_ref).  Survivor
+    is the lexicographic min (doc_id, ref) pair — deterministic under
+    any shuffle order.  The pair is compared via a '|'-joined string
+    (doc ids are fixed-width, refs never contain '|'), which both SQL
+    engines order identically; struct-min is Spark-only.
+
+    Scale shape: the 64-char digest is projected BEFORE the shuffle,
+    so payload bytes never leave their scan partition — at 100 TB of
+    media this is ONE hash aggregation over digests, the same shape as
+    text exact_dedup (pipeline/dedup.py).
+    """
+    pair = F.concat_ws("|", F.col(id_col), F.col(ref_col))
+    d = media.select(
+        payload_digest(F.col(payload_col)).alias("digest"),
+        pair.alias("_pair"),
+    )
+    agg = d.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("_pair").alias("_surv"),
+    )
+    s = F.split(F.col("_surv"), "\\|")
+    return agg.select(
+        "digest",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        s.getItem(0).alias("survivor_doc"),
+        s.getItem(1).alias("survivor_ref"),
+    )
 
 
 def decode_stub(payload: bytes) -> np.ndarray:

@@ -636,6 +636,61 @@ FROM gridv GROUP BY hour
 """
 
 
+def q_plot_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tidy table behind plot.time_series (reference plot.py:61-188):
+    bbox slice → daily coarsen (time_factor=24, boundary trim) →
+    spatial mean.  The reference's coarsen-then-spatial-mean equals
+    ONE avg per (day × slice) group because every group is uniform
+    (24 h × same cell set) — a single division keeps the oracle
+    bit-exact where mean-of-means would be summation-order-dependent."""
+    gv = _gv(spark).filter(
+        F.col("lat").between(20.0, 25.0) & F.col("lon").between(75.0, 80.0)
+    )
+    day = (F.col("hour") / F.lit(24)).cast("int")
+    return (
+        gv.groupBy(day.alias("day_idx"))
+        .agg(
+            F.avg("wnd100m").alias("wnd_mean"),
+            F.avg("influx_direct").alias("influx_mean"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+        )
+        .select(F.col("day_idx").cast("long").alias("day_idx"),
+                "wnd_mean", "influx_mean", "n_samples")
+    )
+
+
+_PLOT_TS_SQL = f"""
+WITH {_GV_CTE}
+SELECT CAST(hour // 24 AS BIGINT) AS day_idx,
+       avg(wnd100m) AS wnd_mean,
+       avg(influx_direct) AS influx_mean,
+       count(*) AS n_samples
+FROM gridv
+WHERE lat BETWEEN 20.0 AND 25.0 AND lon BETWEEN 75.0 AND 80.0
+GROUP BY 1
+"""
+
+
+def q_plot_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tidy grid table behind plot.heatmap(agg_method='mean')
+    (reference plot.py:240-338): per-cell time mean — the (lat, lon,
+    value) long form a colormesh/contour renderer consumes.  One
+    single-division avg per cell; Catalyst prunes every other
+    variable out of the scan."""
+    gv = _gv(spark)
+    return gv.groupBy("lat", "lon").agg(
+        F.avg("wnd100m").alias("wnd_mean"),
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+    )
+
+
+_PLOT_HEATMAP_SQL = f"""
+WITH {_GV_CTE}
+SELECT lat, lon, avg(wnd100m) AS wnd_mean, count(*) AS n_t
+FROM gridv GROUP BY lat, lon
+"""
+
+
 def q_lon_wraparound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 — longitude wraparound (0,360] → (−180,180]."""
     from geodata_spark import sources
@@ -1311,6 +1366,106 @@ SELECT s.doc_id, s.media_ref, CAST(256 AS BIGINT) AS n_bytes, bins.bin,
 FROM sel s CROSS JOIN bins
 LEFT JOIN cnt c
   ON c.doc_id = s.doc_id AND c.media_ref = s.media_ref AND c.hx = bins.hx
+"""
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: image payloads clustered by content digest.
+
+    Content is keyed by the media path with the doc-unique segment
+    stripped (many docs embed the SAME blob — the real-world shape),
+    payloads attached as deterministic sha256 keystreams, clusters via
+    media_exact_dedup's digest hash-agg with a lexicographic-min
+    survivor.  Exercises binary columns end to end: bytes → hex →
+    digest → shuffle of digests only."""
+    from geodata_spark.pipeline import multimodal as MM
+
+    spans = spatial.explode_spans(corpus(spark, sf_dir)).filter(
+        F.col("kind") == "image"
+    )
+    content = spans.select(
+        "doc_id",
+        "media_ref",
+        F.regexp_replace("media_ref", "/[0-9]+/", "/").alias("content_ref"),
+    )
+    media = MM.attach_payloads(content, ref_col="content_ref")
+    return MM.media_exact_dedup(media)
+
+
+_MEDIA_DEDUP_SQL = f"""
+WITH {_CORPUS_CTE},
+img AS (
+  SELECT doc_id, media_ref,
+         regexp_replace(media_ref, '/[0-9]+/', '/') AS content_ref
+  FROM spansx WHERE kind = 'image'
+),
+pay AS (
+  SELECT doc_id, media_ref,
+         sha256(repeat(sha256(content_ref), 8)) AS digest
+  FROM img
+),
+agg AS (
+  SELECT digest, count(*) AS n_copies,
+         min(doc_id || '|' || media_ref) AS surv
+  FROM pay GROUP BY digest
+)
+SELECT digest, CAST(n_copies AS BIGINT) AS n_copies,
+       split_part(surv, '|', 1) AS survivor_doc,
+       split_part(surv, '|', 2) AS survivor_ref
+FROM agg
+"""
+
+
+def q_media_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media↔text join: docs whose TEXT contains token 'w7' AND whose
+    image payload digest starts with '0' — the cross-modal filter a
+    curation pipeline runs (e.g. caption mentions X and image matches
+    a known signature).  Two per-doc aggregations joined on doc_id;
+    both sides shrink to one row per doc before the join."""
+    from geodata_spark.pipeline import multimodal as MM
+
+    spans = spatial.explode_spans(corpus(spark, sf_dir))
+    t = (
+        spans.filter(
+            (F.col("kind") == "text")
+            & F.array_contains(F.split("text", " "), "w7")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_text_hits"))
+    )
+    img = spans.filter(F.col("kind") == "image").select(
+        "doc_id",
+        F.regexp_replace("media_ref", "/[0-9]+/", "/").alias("content_ref"),
+    )
+    media = MM.attach_payloads(img, ref_col="content_ref")
+    m = (
+        media.filter(MM.payload_digest(F.col("payload")).startswith("0"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_media_hits"))
+    )
+    return t.join(m, "doc_id").select("doc_id", "n_text_hits", "n_media_hits")
+
+
+_MEDIA_TEXT_MATCH_SQL = f"""
+WITH {_CORPUS_CTE},
+t AS (
+  SELECT doc_id, count(*) AS n_text_hits FROM spansx
+  WHERE kind = 'text' AND list_contains(string_split(text, ' '), 'w7')
+  GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id, count(*) AS n_media_hits FROM (
+    SELECT doc_id,
+           sha256(repeat(sha256(regexp_replace(media_ref, '/[0-9]+/', '/')), 8))
+             AS digest
+    FROM spansx WHERE kind = 'image'
+  ) WHERE digest LIKE '0%'
+  GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       CAST(t.n_text_hits AS BIGINT) AS n_text_hits,
+       CAST(m.n_media_hits AS BIGINT) AS n_media_hits
+FROM t JOIN m USING (doc_id)
 """
 
 
@@ -2019,6 +2174,10 @@ QUERIES = {
     "sql_tpch_pricing": q_sql_tpch_pricing,
     "sql_text_stats": q_sql_text_stats,
     "sql_events_topk": q_sql_events_topk,
+    "media_dedup": q_media_dedup,
+    "media_text_match": q_media_text_match,
+    "plot_timeseries": q_plot_timeseries,
+    "plot_heatmap": q_plot_heatmap,
 }
 
 ORACLES = {
@@ -2081,4 +2240,8 @@ ORACLES = {
     "sql_tpch_pricing": TP.pricing_summary_sql(),
     "sql_text_stats": _text_stats_sql(),
     "sql_events_topk": _EVENTS_TOPK_SQL,
+    "media_dedup": _MEDIA_DEDUP_SQL,
+    "media_text_match": _MEDIA_TEXT_MATCH_SQL,
+    "plot_timeseries": _PLOT_TS_SQL,
+    "plot_heatmap": _PLOT_HEATMAP_SQL,
 }

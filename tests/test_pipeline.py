@@ -234,6 +234,30 @@ def test_multimodal_plumbing(spark):
         MM.decode_stub(b"xx")
 
 
+def test_media_exact_dedup_planted_clusters(spark):
+    """Byte-identical payloads cluster; survivor is the lexicographic
+    min (doc_id, ref) pair; distinct payloads never merge."""
+    import hashlib
+
+    rows = [
+        ("doc002", "img://a/2.bin", b"SAME" * 64),
+        ("doc001", "img://z/1.bin", b"SAME" * 64),  # same bytes, min doc wins
+        ("doc001", "img://a/0.bin", b"SAME" * 64),  # same doc, min ref wins
+        ("doc003", "img://b/3.bin", b"OTHER" * 51 + b"X"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    out = {r["digest"]: r for r in MM.media_exact_dedup(media).collect()}
+    assert len(out) == 2
+    same_digest = hashlib.sha256((b"SAME" * 64).hex().encode()).hexdigest()
+    c = out[same_digest]
+    assert c["n_copies"] == 3
+    assert (c["survivor_doc"], c["survivor_ref"]) == ("doc001", "img://a/0.bin")
+    other = next(v for k, v in out.items() if k != same_digest)
+    assert other["n_copies"] == 1 and other["survivor_doc"] == "doc003"
+
+
 def test_shingle_freq_cap_bounds_candidates(spark):
     """A planted hot shingle shared by every doc must not create O(n²)
     candidate pairs once the cap filters it."""
