@@ -691,6 +691,36 @@ FROM gridv GROUP BY lat, lon
 """
 
 
+def q_cell_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell cumulative wind sum over time via the two-phase
+    grouped prefix sum (ranking.grouped_prefix_sum, bins = 12-hour
+    ranges).  The oracle is the PLAIN serial running window — exact
+    equality holds because the grid values are dyadic, proving the
+    skew-resilient decomposition changes the plan, not the answer."""
+    from geodata_spark.ranking import grouped_prefix_sum
+
+    gv = _gv(spark).select("lat", "lon", "hour", "wnd100m")
+    out = grouped_prefix_sum(
+        gv,
+        keys=["lat", "lon"],
+        order_cols=["hour"],
+        val_col="wnd100m",
+        bin_expr=F.expr("hour div 12"),
+        out_col="wnd_cum",
+    )
+    return out.select("lat", "lon", F.col("hour").cast("long").alias("hour"), "wnd_cum")
+
+
+_CELL_CUMSUM_SQL = f"""
+WITH {_GV_CTE}
+SELECT lat, lon, CAST(hour AS BIGINT) AS hour,
+       sum(wnd100m) OVER (PARTITION BY lat, lon ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS wnd_cum
+FROM gridv
+"""
+
+
 def q_lon_wraparound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 — longitude wraparound (0,360] → (−180,180]."""
     from geodata_spark import sources
@@ -955,6 +985,28 @@ SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM (
   FROM events
 ) WHERE rnk <= 3
 """
+
+
+def q_events_topk_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-phase top-k (ranking.topk_per_group):
+    EXACTLY the events_topk rows — the oracle is shared — but the hot
+    key's sort runs salt_buckets-wide instead of on one task.  Windows
+    have no map-side combine, so this is the skew mitigation the
+    salted zonal agg cannot provide (see ranking.py)."""
+    from geodata_spark.ranking import topk_per_group
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = topk_per_group(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+        salt_buckets=4,
+        salt_cols=["event_id"],
+    )
+    return out.select(
+        "event_type", F.col("rnk").cast("long").alias("rnk"), "event_id", "value"
+    )
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2178,6 +2230,8 @@ QUERIES = {
     "media_text_match": q_media_text_match,
     "plot_timeseries": q_plot_timeseries,
     "plot_heatmap": q_plot_heatmap,
+    "events_topk_twophase": q_events_topk_twophase,
+    "cell_cumsum_twophase": q_cell_cumsum,
 }
 
 ORACLES = {
@@ -2244,4 +2298,8 @@ ORACLES = {
     "media_text_match": _MEDIA_TEXT_MATCH_SQL,
     "plot_timeseries": _PLOT_TS_SQL,
     "plot_heatmap": _PLOT_HEATMAP_SQL,
+    # two-phase top-k must produce EXACTLY the plain window's rows
+    "events_topk_twophase": _EVENTS_TOPK_SQL,
+    # two-phase prefix sum vs the serial running window (dyadic-exact)
+    "cell_cumsum_twophase": _CELL_CUMSUM_SQL,
 }

@@ -164,30 +164,44 @@ def write_bucketed(
     df: DataFrame,
     table: str,
     n_buckets: int,
-    bucket_col: str,
-    sort_col: str | None = None,
+    bucket_col: str | tuple[str, ...] | list[str],
+    sort_col: str | tuple[str, ...] | list[str] | None = None,
     mode: str = "overwrite",
 ) -> dict:
     """Bucketed catalog-table sink — the co-located-join layout.
 
-    Two tables bucketed the same way (same ``n_buckets``, same
-    ``bucket_col``) join with NO shuffle exchange on either side, and
-    a groupBy on the bucket column aggregates without an exchange:
-    the scan itself reports hash output-partitioning.  This is the
-    cell-id co-location story of the north rule expressed in Spark's
-    catalog layer (the parquet-catalog analog of Iceberg's ``bucket``
+    Two tables bucketed the same way (same ``n_buckets``, same bucket
+    columns) join with NO shuffle exchange on either side, and a
+    groupBy on the bucket columns aggregates without an exchange: the
+    scan itself reports hash output-partitioning.  This is the cell-id
+    co-location story of the north rule expressed in Spark's catalog
+    layer (the parquet-catalog analog of Iceberg's ``bucket``
     partition transform); the prepared bench path gets the same effect
     positionally via repartitionByRange + sortWithinPartitions, but a
     catalog table makes it durable across sessions and queries.
     Plan shape pinned in tests/test_resource_sinks.py.
+
+    Two planner facts callers must respect (learned in the round-4
+    bucketed bench, both visible as ``Bucketed: false (disabled by
+    query planner)`` in the scan):
+
+    - the default ``spark.sql.requireAllClusterKeysForCoPartition=true``
+      means a join uses the buckets only when its equi-keys EQUAL the
+      bucket columns — bucket on the full join key set;
+    - a float/double bucket column never matches: join keys get
+      wrapped in ``normalizenanandzero`` so the planner cannot prove
+      the bucketing hashes the same values.  Bucket on
+      integer/string/date columns only.
     """
-    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bcols)
     if sort_col is not None:
-        w = w.sortBy(sort_col)
+        scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        w = w.sortBy(*scols)
     w.saveAsTable(table)
     return {
         "sink": "bucketed_table",
         "table": table,
         "n_buckets": n_buckets,
-        "bucket_col": bucket_col,
+        "bucket_col": bcols[0] if len(bcols) == 1 else tuple(bcols),
     }

@@ -128,3 +128,39 @@ def test_bucketed_tables_join_and_agg_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_bucketed_multi_column_keys_join_without_shuffle(spark):
+    """Multi-column bucketing: join keys EQUAL the (integer) bucket
+    columns → no join-side Exchange.  Guards the two planner facts in
+    the write_bucketed docstring (all-cluster-keys co-partition rule;
+    float keys never match due to NaN/zero normalization)."""
+    from pyspark.sql import functions as F
+
+    from geodata_spark import sinks
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(20000).select(
+            (F.col("id") % 97).alias("cell_r9"),
+            (F.col("id") % 24).alias("hour"),
+            (F.col("id") % 13).cast("double").alias("val"),
+        )
+        meta = sinks.write_bucketed(
+            df, "bkt_m_a", 8, ("cell_r9", "hour"), sort_col=("cell_r9", "hour")
+        )
+        assert meta["bucket_col"] == ("cell_r9", "hour")
+        sinks.write_bucketed(
+            df, "bkt_m_b", 8, ("cell_r9", "hour"), sort_col=("cell_r9", "hour")
+        )
+        j = spark.table("bkt_m_a").join(
+            spark.table("bkt_m_b"), on=["cell_r9", "hour"]
+        )
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan and "Bucketed: true" in jplan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_m_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_m_b")

@@ -175,3 +175,55 @@ def test_knn_ring_join_single_shuffle_no_dedupe(spark):
     assert len(rows) == 3, "both rows at the shared coordinate must survive"
     vals = sorted(r["temperature_src"] for r in rows)
     assert vals == [1.0, 2.0, 3.0]
+
+
+def test_topk_per_group_exact_and_plain_has_native_group_limit(spark):
+    """topk_per_group (two-phase) emits exactly the plain window's rows
+    under a total order, and the PLAIN path's plan carries Spark's
+    native WindowGroupLimit Partial — the optimizer fact ranking.py
+    documents (use plain when the rule fires)."""
+    from geodata_spark.ranking import topk_per_group
+
+    df = spark.createDataFrame(
+        [(i % 3, float((i * 7) % 50), i) for i in range(500)],
+        ["k", "v", "row_id"],
+    )
+    order = [F.col("v").desc(), F.col("row_id").asc()]
+    plain = topk_per_group(df, ["k"], order, k=4)
+    two = topk_per_group(df, ["k"], order, k=4, salt_buckets=8, salt_cols=["row_id"])
+    want = sorted(tuple(r) for r in plain.collect())
+    got = sorted(tuple(r) for r in two.collect())
+    assert want == got and len(want) == 12
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_cols"):
+        topk_per_group(df, ["k"], order, k=4, salt_buckets=8)
+
+
+def test_grouped_prefix_sum_equals_serial_window(spark):
+    """Two-phase per-key prefix sum == the serial running window,
+    bit-for-bit on integer values, including a 60%-hot key."""
+    from pyspark.sql.window import Window
+
+    from geodata_spark.ranking import grouped_prefix_sum
+
+    rows = [(0 if i % 5 < 3 else i % 5, i, (i * 13) % 97) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    two = grouped_prefix_sum(
+        df, keys=["k"], order_cols=["t"], val_col="v",
+        bin_expr=F.expr("t div 100"), out_col="cum",
+    )
+    w = (
+        Window.partitionBy("k").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    serial = df.withColumn("cum", F.sum("v").over(w))
+    a = sorted(tuple(r) for r in two.select("k", "t", "cum").collect())
+    b = sorted(tuple(r) for r in serial.select("k", "t", "cum").collect())
+    assert a == b
+    # the two-phase plan must not sort any key on a single partition:
+    # its big window partitions by (k, _bin)
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "_bin" in plan
