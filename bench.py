@@ -492,6 +492,19 @@ Reference parallelism is 1 process x 1 dask thread (geodata
 preparation.py:166, :43), so any multi-core run exceeds reference
 single-node throughput; the flagship at local[32] processes
 {results['local[32]']['docs_per_sec']:,} docs/sec.
+
+Companion measurements (same protocol, separate modes):
+
+- `BENCH/BUCKETED.md` (`python bench.py --bucketed`) — co-located
+  bucketed-catalog-table join vs plain parquet: 1 Exchange vs 3 and
+  2-3x faster at every parallelism level; the durable cell-id
+  co-location layout of the north rule.
+- `BENCH/SKEW.md` (`python bench.py --skew`) — 60%-hot-cell corpus:
+  salted vs unsalted aggregation, two-phase vs plain windows
+  (grouped_prefix_sum wins ~1.3x on the running-sum shape; top-k is
+  natively two-phased by InferWindowGroupLimit).
+- The default bench JSON now includes ANN recall@10 (IVF / LSH vs the
+  exact brute-force twin) next to wall time.
 """
         )
     return report
