@@ -1009,6 +1009,44 @@ def q_events_topk_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal.asof_join): every click event picks up the
+    latest at-or-before view event of the same user (left semantics:
+    clicks with no prior view keep NULLs).  Spark has no native ASOF;
+    the union-trick window implementation is validated against
+    DuckDB's native ASOF LEFT JOIN — two entirely different
+    algorithms, same rows."""
+    from geodata_spark.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], ts_col="ts",
+        right_cols=("value",), tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value_asof").alias("view_value"),
+        F.col("ts_asof").alias("view_ts"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+       v.value AS view_value, v.ts AS view_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap > 30 min starts a new session (W-class
     analytic windows: lag + running sum)."""
@@ -2232,6 +2270,7 @@ QUERIES = {
     "plot_heatmap": q_plot_heatmap,
     "events_topk_twophase": q_events_topk_twophase,
     "cell_cumsum_twophase": q_cell_cumsum,
+    "events_asof": q_events_asof,
 }
 
 ORACLES = {
@@ -2302,4 +2341,6 @@ ORACLES = {
     "events_topk_twophase": _EVENTS_TOPK_SQL,
     # two-phase prefix sum vs the serial running window (dyadic-exact)
     "cell_cumsum_twophase": _CELL_CUMSUM_SQL,
+    # union-trick window as-of vs DuckDB's native ASOF LEFT JOIN
+    "events_asof": _EVENTS_ASOF_SQL,
 }

@@ -1,0 +1,106 @@
+"""Temporal joins — as-of (nearest-prior) matching.
+
+The reference's time handling is positional xarray indexing (a cutout
+shares one time axis, so "the value in effect at t" is an array
+lookup).  A table of interleaved event streams has no shared axis:
+matching every left row to the LATEST right row at-or-before its
+timestamp is an ASOF JOIN — the standard temporal primitive of
+feature pipelines ("the user's last view before this click", "the
+price in effect at order time").
+
+Spark has no native as-of join; a naive range join
+(``l.ts >= r.ts``) explodes to O(n·m) pairs per key before taking the
+max.  :func:`asof_join` uses the **union trick** instead: tag both
+sides, union, ONE window per key ordered by time with right rows
+sorting before coincident left rows, and ``last(value, ignorenulls)``
+carries the latest right value forward onto every left row.  Cost is
+one shuffle of (left + right) and a per-key sort — the same shape as
+any windowed query, with zero pair explosion.  DuckDB's native
+``ASOF LEFT JOIN`` is the independent oracle (queries.py
+``events_asof``).
+
+Skew note: a hot key sorts on one task, like any window.  If one key
+dominates, pre-split by a monotone time-range bin exactly as
+ranking.grouped_prefix_sum does — the carried value crosses bins via
+a per-bin "last right row" broadcast; not needed at the driver's
+event-table scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right row with ``r.ts <= l.ts`` per key.
+
+    Output = every left row + ``{c}{suffix}`` for each of
+    ``right_cols`` and ``{ts_col}{suffix}`` (the matched right
+    timestamp), NULL when no right row precedes (left-join
+    semantics).  ``tolerance_seconds`` additionally nulls matches
+    older than the window.  If multiple right rows share (key, ts),
+    pass ``tiebreak_col`` (a unique right column) to make the pick
+    deterministic — the largest tiebreak wins.
+    """
+    out_cols = list(left.columns)
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
+
+    l_tagged = left.select(
+        *out_cols,
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in right_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast("long").alias("_tie"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) if c in right.columns else F.lit(None).alias(c)
+          for c in on + [ts_col]],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in out_cols if c not in on + [ts_col]],
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        (F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0)).alias("_tie"),
+    ).select(*l_tagged.columns)  # align column order for the union
+
+    u = l_tagged.unionByName(r_tagged)
+    # right rows sort BEFORE coincident left rows (side desc at equal
+    # ts → a right row AT t is visible to a left row AT t, inclusive
+    # as-of), ties among right rows resolved by _tie so last() is
+    # deterministic
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").desc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *out_cols,
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    res = filled.filter(F.col("_side") == 0).drop("_side")
+    if tolerance_seconds is not None:
+        matched_ts = F.col(f"{ts_col}{suffix}")
+        fresh = (
+            F.col(ts_col).cast("double") - matched_ts.cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        res = res.select(
+            *out_cols,
+            *[
+                F.when(fresh, F.col(c)).alias(c)
+                for c in carried
+            ],
+        )
+    return res

@@ -227,3 +227,44 @@ def test_grouped_prefix_sum_equals_serial_window(spark):
     # its big window partitions by (k, _bin)
     plan = two._jdf.queryExecution().executedPlan().toString()
     assert "_bin" in plan
+
+
+def test_asof_join_semantics(spark):
+    """Union-trick as-of join: latest at-or-before match per key,
+    inclusive at coincident timestamps, NULL when nothing precedes,
+    deterministic tie-break, tolerance window."""
+    from geodata_spark.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 5, 50.0), (3, 9, 90.0)],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, 7), (1, 10, 2.0, 9), (1, 15, 3.0, 1), (2, 6, 4.0, 2)],
+        ["k", "ts", "rv", "rid"],
+    )
+    out = {
+        (r["k"], r["ts"]): (r["rv_asof"], r["ts_asof"])
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=("rv",),
+            tiebreak_col="rid",
+        ).collect()
+    }
+    assert out[(1, 10)] == (2.0, 10)   # inclusive; tie → larger rid wins
+    assert out[(1, 20)] == (3.0, 15)   # latest prior
+    assert out[(2, 5)] == (None, None)  # right exists but only later
+    assert out[(3, 9)] == (None, None)  # no right rows for key
+    # tolerance: the (1, 20) match at ts=15 dies with a 3-second window
+    tol = {
+        (r["k"], r["ts"]): r["rv_asof"]
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=("rv",),
+            tiebreak_col="rid", tolerance_seconds=3,
+        ).collect()
+    }
+    assert tol[(1, 10)] == 2.0 and tol[(1, 20)] is None
+    # plan shape: one window over the union — no range-join explosion
+    plan = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=("rv",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Window" in plan
