@@ -2202,6 +2202,7 @@ q_sql_zonal_daily_wavg = _q_sql("sql_zonal_daily_wavg")
 q_sql_tpch_pricing = _q_sql("sql_tpch_pricing")
 q_sql_text_stats = _q_sql("sql_text_stats")
 q_sql_events_topk = _q_sql("sql_events_topk")
+q_sql_grid_reduce = _q_sql("sql_grid_reduce")
 
 
 # ---------------------------------------------------------------------------
@@ -2264,6 +2265,7 @@ QUERIES = {
     "sql_tpch_pricing": q_sql_tpch_pricing,
     "sql_text_stats": q_sql_text_stats,
     "sql_events_topk": q_sql_events_topk,
+    "sql_grid_reduce": q_sql_grid_reduce,
     "media_dedup": q_media_dedup,
     "media_text_match": q_media_text_match,
     "plot_timeseries": q_plot_timeseries,
@@ -2333,6 +2335,7 @@ ORACLES = {
     "sql_tpch_pricing": TP.pricing_summary_sql(),
     "sql_text_stats": _text_stats_sql(),
     "sql_events_topk": _EVENTS_TOPK_SQL,
+    "sql_grid_reduce": _GRID_REDUCE_SQL,
     "media_dedup": _MEDIA_DEDUP_SQL,
     "media_text_match": _MEDIA_TEXT_MATCH_SQL,
     "plot_timeseries": _PLOT_TS_SQL,

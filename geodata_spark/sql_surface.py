@@ -91,6 +91,9 @@ def register_views(
     c = corpus if corpus is not None else Q.corpus(spark, sf_dir)
     c.createOrReplaceTempView("corpus")
     names.append("corpus")
+    # the canonical cutout long table (gridded physical variables)
+    Q._gv(spark).createOrReplaceTempView("gridv")
+    names.append("gridv")
     zone_cover_df(spark, ZONES, res).createOrReplaceTempView("zone_cover")
     names.append("zone_cover")
     spark.sql(
@@ -191,11 +194,22 @@ WHERE rnk <= {k}
 """
 
 
+def grid_reduce_sql() -> str:
+    """SQL twin of queries.q_grid_reduce (plot.py:35-58
+    ds_ts_aggregate) over the ``gridv`` cutout view."""
+    return """
+SELECT hour, avg(wnd100m) AS wnd_mean, sum(influx_direct) AS influx_sum,
+       count(*) AS n_cells
+FROM gridv GROUP BY hour
+"""
+
+
 SQL_QUERIES = {
     "sql_zonal_daily_wavg": zonal_daily_wavg_sql,
     "sql_tpch_pricing": tpch_pricing_sql,
     "sql_text_stats": text_stats_sql,
     "sql_events_topk": events_topk_sql,
+    "sql_grid_reduce": grid_reduce_sql,
 }
 
 
