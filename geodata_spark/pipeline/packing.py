@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from geodata_spark.pipeline.dedup import hash60, hash60_sql
+from geodata_spark.pipeline.dedup import _hash_bits, hash60, hash60_sql
 from geodata_spark.pipeline.text import token_count_sql
 
 _SEED = 7
@@ -65,8 +65,7 @@ def pack_chunks(
     # smallest s with 2^(bits - s) >= n_shards; shiftright is an
     # arithmetic shift, monotone over the full signed range xxhash64
     # emits, so shard order == hash order by construction
-    bits = 64 if hash_mode == "xxhash64" else 60
-    shift = max(0, bits - max(1, (int(n_shards) - 1).bit_length()))
+    shift = max(0, _hash_bits(hash_mode) - max(1, (int(n_shards) - 1).bit_length()))
     d = docs.select(
         F.col(id_col).alias("_id"), tok.alias("_tok"), h.alias("_h")
     ).withColumn("_shard", F.shiftright(F.col("_h"), shift))

@@ -1486,7 +1486,7 @@ _MEDIA_DEDUP_SQL = f"""
 WITH {_CORPUS_CTE},
 img AS (
   SELECT doc_id, media_ref,
-         regexp_replace(media_ref, '/[0-9]+/', '/') AS content_ref
+         regexp_replace(media_ref, '/[0-9]+/', '/', 'g') AS content_ref
   FROM spansx WHERE kind = 'image'
 ),
 pay AS (
@@ -1546,7 +1546,7 @@ t AS (
 m AS (
   SELECT doc_id, count(*) AS n_media_hits FROM (
     SELECT doc_id,
-           sha256(repeat(sha256(regexp_replace(media_ref, '/[0-9]+/', '/')), 8))
+           sha256(repeat(sha256(regexp_replace(media_ref, '/[0-9]+/', '/', 'g')), 8))
              AS digest
     FROM spansx WHERE kind = 'image'
   ) WHERE digest LIKE '0%'

@@ -345,6 +345,12 @@ def read_netcdf(
             if k in ds.coords or k in ds.dims
         }
         ds = ds.rename(rename)
+        # CDS-downloaded ERA5 stores latitude DESCENDING (90 → -90);
+        # a slice() on a descending index selects nothing.  Normalize
+        # to ascending before the bbox subset (the reference does the
+        # same in _rename_and_clean_coords).
+        if ds["lat"].values.size > 1 and ds["lat"].values[0] > ds["lat"].values[-1]:
+            ds = ds.sortby("lat")
         if bounds is not None:
             lat_min, lat_max, lon_min, lon_max = bounds
             ds = ds.sel(
@@ -356,10 +362,21 @@ def read_netcdf(
             "lat": ds["lat"].values,
             "lon": ds["lon"].values,
         }
-        cubes = {
-            name: ds[name].transpose("ts", "lat", "lon").values
-            for name in ds.data_vars
-        }
+        want_dims = {"ts", "lat", "lon"}
+        cubes = {}
+        for name in ds.data_vars:
+            if set(ds[name].dims) != want_dims:
+                # real files carry extra dims (ERA5T 'expver', ensemble
+                # 'number'); skip rather than abort the whole file
+                import warnings
+
+                warnings.warn(
+                    f"read_netcdf: skipping variable {name!r} with dims "
+                    f"{ds[name].dims} (want exactly {sorted(want_dims)})",
+                    stacklevel=2,
+                )
+                continue
+            cubes[name] = ds[name].transpose("ts", "lat", "lon").values
     out = gridded_to_table(spark, coords, cubes)
     if dataset == "era5":
         return era5_prepare(out)

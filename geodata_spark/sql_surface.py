@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from geodata_spark import cells
+from geodata_spark import cells, zonal
 from geodata_spark.pipeline import text as TX
 from geodata_spark.spatial import pip_zone_sql, zone_cover_df
 from geodata_spark.zones import ZONES
@@ -81,8 +81,19 @@ def register_views(
     the driver's documents table (queries.corpus).  Pass your own
     documents DataFrame (same doc_id/spans schema) to point the SQL
     surface at real data.
+
+    Idempotent per (session, sf_dir): re-registering is skipped (views
+    are stable within a session; corpus sizing costs a Spark count()
+    action, which a batch of ``sql_*`` registry queries should pay
+    once, not per query).  Pass a non-None ``corpus`` to force.
     """
     from geodata_spark import queries as Q  # local import: Q imports this module's deps
+
+    sent = "_geodata_spark_sql_views_sf"
+    sc = spark.sparkContext
+    cached = getattr(sc, sent, None)
+    if corpus is None and cached and cached[0] == (sf_dir, res):
+        return list(cached[1])
 
     names: list[str] = []
     for t in DRIVER_TABLES:
@@ -100,6 +111,7 @@ def register_views(
         f"CREATE OR REPLACE TEMP VIEW geo_points AS {geo_points_view_sql(res)}"
     )
     names.append("geo_points")
+    setattr(sc, sent, ((sf_dir, res), tuple(names)))
     return names
 
 
@@ -125,7 +137,7 @@ kept AS (
 ),
 weighted AS (
   SELECT zone_id, CAST(hour div 24 AS INT) AS day_idx, val,
-         ((54.25 - lat) * 0.015625) AS w
+         {zonal.ORACLE_AREA_WEIGHT_SQL} AS w
   FROM kept
 )
 SELECT zone_id, day_idx,

@@ -12,8 +12,9 @@ Spark has no native as-of join; a naive range join
 (``l.ts >= r.ts``) explodes to O(n·m) pairs per key before taking the
 max.  :func:`asof_join` uses the **union trick** instead: tag both
 sides, union, ONE window per key ordered by time with right rows
-sorting before coincident left rows, and ``last(value, ignorenulls)``
-carries the latest right value forward onto every left row.  Cost is
+sorting before coincident left rows, and ``last(struct, ignorenulls)``
+carries the latest right ROW (atomically — see asof_join) forward
+onto every left row.  Cost is
 one shuffle of (left + right) and a per-key sort — the same shape as
 any windowed query, with zero pair explosion.  DuckDB's native
 ``ASOF LEFT JOIN`` is the independent oracle (queries.py
@@ -50,29 +51,40 @@ def asof_join(
     timestamp), NULL when no right row precedes (left-join
     semantics).  ``tolerance_seconds`` additionally nulls matches
     older than the window.  If multiple right rows share (key, ts),
-    pass ``tiebreak_col`` (a unique right column) to make the pick
-    deterministic — the largest tiebreak wins.
+    pass ``tiebreak_col`` (a unique right column, ANY orderable type
+    — compared natively, never cast) to make the pick deterministic —
+    the largest tiebreak wins.
+
+    The matched right row is carried as ONE struct, not per-column
+    ``last()`` calls: per-column carries would let a NULL in the
+    matched row's value column fall through to an OLDER row's value,
+    stitching a tuple that never existed (and diverging from the
+    DuckDB ASOF oracle).  A struct is non-null whenever the right ROW
+    exists, so ``last(struct, ignorenulls)`` is row-atomic.
     """
     out_cols = list(left.columns)
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
 
+    r_struct = F.struct(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+    )
+    tie_type = right.schema[tiebreak_col].dataType if tiebreak_col else None
     l_tagged = left.select(
         *out_cols,
         F.lit(0).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in right_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
-        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
+        (F.lit(None).cast(tie_type) if tie_type else F.lit(0)).alias("_tie"),
     )
     r_tagged = right.select(
-        *[F.col(c) if c in right.columns else F.lit(None).alias(c)
-          for c in on + [ts_col]],
+        *[F.col(c) for c in on + [ts_col]],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in out_cols if c not in on + [ts_col]],
         F.lit(1).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
-        (F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0)).alias("_tie"),
+        r_struct.alias("_r"),
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("_tie"),
     ).select(*l_tagged.columns)  # align column order for the union
 
     u = l_tagged.unionByName(r_tagged)
@@ -88,9 +100,12 @@ def asof_join(
     filled = u.select(
         *out_cols,
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
-    res = filled.filter(F.col("_side") == 0).drop("_side")
+    res = (
+        filled.filter(F.col("_side") == 0)
+        .select(*out_cols, *[F.col(f"_m.{c}").alias(c) for c in carried])
+    )
     if tolerance_seconds is not None:
         matched_ts = F.col(f"{ts_col}{suffix}")
         fresh = (

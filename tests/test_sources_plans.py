@@ -268,3 +268,31 @@ def test_asof_join_semantics(spark):
         left, right, on=["k"], ts_col="ts", right_cols=("rv",)
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Window" in plan
+
+
+def test_asof_join_row_atomic_nulls_and_string_tiebreak(spark):
+    """A NULL in the MATCHED right row's value column must surface as
+    NULL — not fall through to an older row's value (the carried match
+    is row-atomic).  String tiebreaks compare natively, never cast."""
+    from geodata_spark.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 6)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 3, 7.0, "a"), (1, 5, None, "b")], ["k", "ts", "rv", "rid"]
+    )
+    r = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=("rv",),
+        tiebreak_col="rid",
+    ).collect()[0]
+    # matched row is (ts=5, rv=NULL): rv_asof must be NULL with ts_asof=5,
+    # NOT the older 7.0 stitched onto ts=5 (DuckDB ASOF agrees)
+    assert r["ts_asof"] == 5 and r["rv_asof"] is None
+    # string tie-break at coincident ts: largest rid wins, no long cast
+    right2 = spark.createDataFrame(
+        [(1, 6, 1.0, "E0001"), (1, 6, 2.0, "E0009")], ["k", "ts", "rv", "rid"]
+    )
+    r2 = asof_join(
+        left, right2, on=["k"], ts_col="ts", right_cols=("rv",),
+        tiebreak_col="rid",
+    ).collect()[0]
+    assert r2["rv_asof"] == 2.0
