@@ -43,8 +43,12 @@ def asof_join(
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
     tiebreak_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with ``r.ts <= l.ts`` per key.
+    """Left as-of join: latest right row with ``r.ts <= l.ts`` per key
+    (``direction="backward"``, the default), or the EARLIEST right row
+    with ``r.ts >= l.ts`` (``direction="forward"`` — the mirror window
+    read in descending time; same cost, same row-atomic carry).
 
     Output = every left row + ``{c}{suffix}`` for each of
     ``right_cols`` and ``{ts_col}{suffix}`` (the matched right
@@ -62,6 +66,8 @@ def asof_join(
     DuckDB ASOF oracle).  A struct is non-null whenever the right ROW
     exists, so ``last(struct, ignorenulls)`` is row-atomic.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out_cols = list(left.columns)
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
 
@@ -92,9 +98,10 @@ def asof_join(
     # ts → a right row AT t is visible to a left row AT t, inclusive
     # as-of), ties among right rows resolved by _tie so last() is
     # deterministic
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").desc(), F.col("_tie").asc())
+        .orderBy(ts_order, F.col("_side").desc(), F.col("_tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
@@ -108,9 +115,12 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         matched_ts = F.col(f"{ts_col}{suffix}")
-        fresh = (
+        gap = (
             F.col(ts_col).cast("double") - matched_ts.cast("double")
-        ) <= F.lit(float(tolerance_seconds))
+            if direction == "backward"
+            else matched_ts.cast("double") - F.col(ts_col).cast("double")
+        )
+        fresh = gap <= F.lit(float(tolerance_seconds))
         res = res.select(
             *out_cols,
             *[

@@ -296,3 +296,26 @@ def test_asof_join_row_atomic_nulls_and_string_tiebreak(spark):
         tiebreak_col="rid",
     ).collect()[0]
     assert r2["rv_asof"] == 2.0
+    # forward direction: earliest right at-or-after, mirror tolerance
+    fleft = spark.createDataFrame([(1, 4), (1, 20)], ["k", "ts"])
+    fwd = {
+        r["ts"]: (r["rv_asof"], r["ts_asof"])
+        for r in asof_join(
+            fleft, right, on=["k"], ts_col="ts", right_cols=("rv",),
+            tiebreak_col="rid", direction="forward",
+        ).collect()
+    }
+    assert fwd[4] == (None, 5)      # earliest at-or-after is ts=5 (rv NULL)
+    assert fwd[20] == (None, None)  # nothing after ts=20
+    ftol = {
+        r["ts"]: r["ts_asof"]
+        for r in asof_join(
+            fleft, right, on=["k"], ts_col="ts", right_cols=("rv",),
+            tiebreak_col="rid", direction="forward", tolerance_seconds=0.5,
+        ).collect()
+    }
+    assert ftol[4] is None  # ts=5 match is 1s ahead, outside the window
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(fleft, right, on=["k"], direction="sideways", right_cols=("rv",))
