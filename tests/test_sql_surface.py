@@ -93,3 +93,19 @@ def test_geo_points_view_is_pure_sql_and_matches_parser(spark, views):
     )
     got = spark.table("geo_points").select(*want.columns)
     assert _rows(got) == _rows(want)
+
+
+def test_register_views_idempotent_per_session(spark, views):
+    """Re-registration is skipped per (session, sf_dir): same view-name
+    list back, no second corpus-sizing count() job; a different sf_dir
+    re-registers."""
+    from geodata_spark import sql_surface as S
+
+    again = S.register_views(spark, SF_ORACLE)
+    assert set(again) == set(views)
+    # different sf_dir → cache miss → fresh registration (names again)
+    other = S.register_views(spark, "/root/testdata/sf0.001")
+    assert set(other) == set(views)
+    # and flipping back re-registers for the original dir
+    back = S.register_views(spark, SF_ORACLE)
+    assert set(back) == set(views)
