@@ -1,0 +1,64 @@
+"""Registry hygiene: the driver's correctness sweep snapshots only the
+FIRST 50 ``queries.QUERIES`` entries (observed: CORRECTNESS_r03/r04
+carry the identical 50 keys while the registry held 65).  These tests
+pin the round-5 ordering contract (VERDICT r4 "Next round" #1/#8):
+
+1. every key OUTSIDE the 50-row window is explicitly listed in
+   COVERAGE.md's "Pending driver sweep" section, so an unswept query
+   can never again go unnoticed for a round;
+2. the 15 queries rotated INTO the window this round are inside it;
+3. QUERIES and ORACLES stay key-aligned (every query oracle-paired).
+
+No Spark session needed — pure registry introspection.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from geodata_spark.queries import ORACLES, QUERIES
+
+DRIVER_WINDOW = 50
+REPO = Path(__file__).resolve().parents[1]
+
+ROTATED_IN_R5 = {
+    "decontamination", "pii_redact", "doc_quantiles",
+    "sql_zonal_daily_wavg", "sql_tpch_pricing", "sql_text_stats",
+    "sql_events_topk", "sql_grid_reduce",
+    "media_dedup", "media_text_match",
+    "plot_timeseries", "plot_heatmap",
+    "events_topk_twophase", "cell_cumsum_twophase", "events_asof",
+}
+
+
+def _pending_sweep_names() -> set[str]:
+    text = (REPO / "COVERAGE.md").read_text()
+    m = re.search(r"\*\*Pending driver sweep\*\*(.*?)(?:\n#|\Z)", text, re.S)
+    assert m, "COVERAGE.md lost its 'Pending driver sweep' section"
+    return set(re.findall(r"^- (\w+)", m.group(1), re.M))
+
+
+def test_unswept_keys_are_documented():
+    tail = list(QUERIES)[DRIVER_WINDOW:]
+    documented = _pending_sweep_names()
+    missing = [k for k in tail if k not in documented]
+    assert not missing, (
+        f"QUERIES keys outside the driver's {DRIVER_WINDOW}-row sweep window "
+        f"are not listed under 'Pending driver sweep' in COVERAGE.md: {missing}"
+    )
+
+
+def test_round5_rotation_inside_window():
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    out = ROTATED_IN_R5 - window
+    assert not out, f"rotated-in queries fell back out of the window: {sorted(out)}"
+
+
+def test_documented_pending_keys_exist():
+    unknown = _pending_sweep_names() - set(QUERIES)
+    assert not unknown, f"COVERAGE.md pending-sweep lists unknown queries: {sorted(unknown)}"
+
+
+def test_every_query_is_oracle_paired():
+    assert set(QUERIES) == set(ORACLES)
