@@ -75,16 +75,21 @@ def media_exact_dedup(
 
     Output: (digest, n_copies, survivor_doc, survivor_ref).  Survivor
     is the lexicographic min (doc_id, ref) pair — deterministic under
-    any shuffle order.  The pair is compared via a '|'-joined string
-    (doc ids are fixed-width, refs never contain '|'), which both SQL
-    engines order identically; struct-min is Spark-only.
+    any shuffle order.  The pair is compared as a genuine STRUCT
+    (Spark ``min(struct)``, DuckDB ``min(struct_pack(...))`` in the
+    oracle) — both engines define lexicographic struct ordering, and
+    unlike a '|'-joined string it is correct for variable-width ids
+    ('doc2' vs 'doc10') and refs containing the separator.
 
     Scale shape: the 64-char digest is projected BEFORE the shuffle,
     so payload bytes never leave their scan partition — at 100 TB of
     media this is ONE hash aggregation over digests, the same shape as
     text exact_dedup (pipeline/dedup.py).
     """
-    pair = F.concat_ws("|", F.col(id_col), F.col(ref_col))
+    pair = F.struct(
+        F.col(id_col).alias("d"),
+        F.col(ref_col).alias("r"),
+    )
     d = media.select(
         payload_digest(F.col(payload_col)).alias("digest"),
         pair.alias("_pair"),
@@ -93,12 +98,11 @@ def media_exact_dedup(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("_pair").alias("_surv"),
     )
-    s = F.split(F.col("_surv"), "\\|")
     return agg.select(
         "digest",
         F.col("n_copies").cast("long").alias("n_copies"),
-        s.getItem(0).alias("survivor_doc"),
-        s.getItem(1).alias("survivor_ref"),
+        F.col("_surv.d").alias("survivor_doc"),
+        F.col("_surv.r").alias("survivor_ref"),
     )
 
 

@@ -1038,11 +1038,22 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The right side pre-aggregates per (user_id, ts) with max_by(value,
+# event_id) BEFORE the ASOF join: DuckDB's ASOF picks an arbitrary row
+# among equal-timestamp matches, while the Spark path breaks the tie
+# deterministically by largest event_id — collapsing duplicates first
+# makes the oracle deterministic under the same rule, so the compare
+# stays stable even if the events table ever carries duplicate
+# (user_id, ts) view events.
 _EVENTS_ASOF_SQL = """
 SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
        v.value AS view_value, v.ts AS view_ts
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+) v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 """
 
@@ -1495,13 +1506,16 @@ pay AS (
   FROM img
 ),
 agg AS (
+  -- struct-min = lexicographic (doc_id, ref) — same ordering rule as
+  -- the Spark side's min(struct); correct for variable-width ids and
+  -- separator-bearing refs, unlike a joined-string min
   SELECT digest, count(*) AS n_copies,
-         min(doc_id || '|' || media_ref) AS surv
+         min(struct_pack(d := doc_id, r := media_ref)) AS surv
   FROM pay GROUP BY digest
 )
 SELECT digest, CAST(n_copies AS BIGINT) AS n_copies,
-       split_part(surv, '|', 1) AS survivor_doc,
-       split_part(surv, '|', 2) AS survivor_ref
+       surv.d AS survivor_doc,
+       surv.r AS survivor_ref
 FROM agg
 """
 

@@ -37,6 +37,14 @@ from geodata_spark.pipeline import text as TX
 from geodata_spark.spatial import pip_zone_sql, zone_cover_df
 from geodata_spark.zones import ZONES
 
+# register_views skip-cache, keyed per SparkSession (weakly: a closed
+# session's entry is collected with it).  Temp views are session-
+# scoped, so a context-scoped sentinel would wrongly skip registration
+# in sibling sessions (spark.newSession()) sharing one SparkContext.
+import weakref
+
+_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 DRIVER_TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -85,14 +93,26 @@ def register_views(
     Idempotent per (session, sf_dir): re-registering is skipped (views
     are stable within a session; corpus sizing costs a Spark count()
     action, which a batch of ``sql_*`` registry queries should pay
-    once, not per query).  Pass a non-None ``corpus`` to force.
+    once, not per query).  Pass a non-None ``corpus`` to force — a
+    caller-supplied corpus never populates the cache, so later
+    default-corpus calls re-register the canonical views instead of
+    silently inheriting the custom ones.
+
+    Temp views are SESSION-scoped, so the skip-cache must be too: it
+    is keyed on the SparkSession object (weakly — a dropped session
+    frees its entry), not the shared SparkContext, and it trusts the
+    cache only while the sentinel view is still present in the
+    session catalog (a ``DROP VIEW`` invalidates it).
     """
     from geodata_spark import queries as Q  # local import: Q imports this module's deps
 
-    sent = "_geodata_spark_sql_views_sf"
-    sc = spark.sparkContext
-    cached = getattr(sc, sent, None)
-    if corpus is None and cached and cached[0] == (sf_dir, res):
+    cached = _REGISTERED.get(spark)
+    if (
+        corpus is None
+        and cached
+        and cached[0] == (sf_dir, res)
+        and spark.catalog.tableExists("geo_points")
+    ):
         return list(cached[1])
 
     names: list[str] = []
@@ -111,7 +131,12 @@ def register_views(
         f"CREATE OR REPLACE TEMP VIEW geo_points AS {geo_points_view_sql(res)}"
     )
     names.append("geo_points")
-    setattr(sc, sent, ((sf_dir, res), tuple(names)))
+    if corpus is None:
+        _REGISTERED[spark] = ((sf_dir, res), tuple(names))
+    else:
+        # custom corpus: poison-proof — drop any stale entry so the
+        # next default-corpus call rebuilds the canonical views
+        _REGISTERED.pop(spark, None)
     return names
 
 

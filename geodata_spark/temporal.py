@@ -68,6 +68,11 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # NULL-ts right rows can never be "at or before t" — but they sort
+    # FIRST under the ascending window order with a non-null _r struct,
+    # so without this filter every left row could "match" them.
+    # DuckDB's native ASOF ignores NULL-timestamp rows; mirror that.
+    right = right.filter(F.col(ts_col).isNotNull())
     out_cols = list(left.columns)
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
 

@@ -394,3 +394,23 @@ def test_redaction_patterns(spark):
     )
     r9 = TX.with_redaction(df2).collect()[0]
     assert r9.n_emails == 1 and r9.text_redacted.count("<EMAIL>") == 2
+
+
+def test_media_dedup_survivor_struct_ordering(spark):
+    """Survivor pick is lexicographic on the (doc_id, ref) PAIR — a
+    genuine struct-min, correct for variable-width ids ('doc2' vs
+    'doc10') and refs containing the old '|' separator (ADVICE r4:
+    the joined-string min got these wrong)."""
+    from geodata_spark.pipeline.multimodal import media_exact_dedup
+
+    rows = [
+        ("doc2", "img|a", bytearray(b"same")),
+        ("doc10", "img|z", bytearray(b"same")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, media_ref string, payload binary")
+    out = media_exact_dedup(df).collect()
+    assert len(out) == 1
+    # 'doc10' < 'doc2' lexicographically → doc10 survives with ITS ref
+    assert out[0]["survivor_doc"] == "doc10"
+    assert out[0]["survivor_ref"] == "img|z"
+    assert out[0]["n_copies"] == 2

@@ -319,3 +319,31 @@ def test_asof_join_row_atomic_nulls_and_string_tiebreak(spark):
 
     with pytest.raises(ValueError, match="direction"):
         asof_join(fleft, right, on=["k"], direction="sideways", right_cols=("rv",))
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """Right rows with NULL ts sort first under the window order and
+    carry a non-null struct — without the explicit filter they would
+    'match' every left row.  DuckDB's native ASOF ignores them; so do
+    we (ADVICE r4)."""
+    from geodata_spark.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, None, 99.0, 1), (1, 4, 4.0, 2)],
+        "k bigint, ts bigint, rv double, rid bigint",
+    )
+    r = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=("rv",),
+        tiebreak_col="rid",
+    ).collect()[0]
+    assert r["rv_asof"] == 4.0 and r["ts_asof"] == 4
+    # and when the ONLY right row has NULL ts → left-join NULLs
+    right2 = spark.createDataFrame(
+        [(1, None, 99.0, 1)], "k bigint, ts bigint, rv double, rid bigint"
+    )
+    r2 = asof_join(
+        left, right2, on=["k"], ts_col="ts", right_cols=("rv",),
+        tiebreak_col="rid",
+    ).collect()[0]
+    assert r2["rv_asof"] is None and r2["ts_asof"] is None

@@ -109,3 +109,34 @@ def test_register_views_idempotent_per_session(spark, views):
     # and flipping back re-registers for the original dir
     back = S.register_views(spark, SF_ORACLE)
     assert set(back) == set(views)
+
+
+def test_register_views_cache_is_session_scoped(spark, views):
+    """Temp views are session-scoped, so the skip-cache must be too
+    (ADVICE r4): a sibling session sharing the SparkContext registers
+    its own views instead of hitting the parent's sentinel; a dropped
+    view invalidates the cache; a caller-supplied corpus never
+    poisons later default-corpus calls."""
+    from geodata_spark import sql_surface as S
+
+    sib = spark.newSession()
+    assert not sib.catalog.tableExists("geo_points")
+    names = S.register_views(sib, SF_ORACLE)
+    assert sib.catalog.tableExists("geo_points")
+    assert set(names) == set(views)
+
+    # dropped sentinel view → cache distrusted → re-registered
+    sib.catalog.dropTempView("geo_points")
+    S.register_views(sib, SF_ORACLE)
+    assert sib.catalog.tableExists("geo_points")
+
+    # custom corpus must not poison the skip-cache: the next default
+    # call re-registers the canonical corpus view
+    custom = sib.createDataFrame(
+        [("d0", [])], "doc_id string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,`offset`:int>>"
+    )
+    S.register_views(sib, SF_ORACLE, corpus=custom)
+    assert sib.table("corpus").count() == 1
+    S.register_views(sib, SF_ORACLE)
+    assert sib.table("corpus").count() > 1
