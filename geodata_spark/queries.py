@@ -2221,6 +2221,91 @@ q_sql_grid_reduce = _q_sql("sql_grid_reduce")
 
 # ---------------------------------------------------------------------------
 
+def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aperture-7 hexagonal cell encode (hexgrid.hex7_token_udf) over a
+    deterministic in-query point set — the H3-style twin of the S2/grid
+    encoders (north_star: batch-encode H3 res 5-9 cell ids; reference
+    analog cutout.py:340-344 grid discretization).
+
+    The encode is numpy/Arrow math DuckDB cannot run, so the oracle is
+    a FIXTURE LITERAL: the same 24 points x (res 5, 7) tokens, pinned
+    from the deterministic construction (module fixtures in
+    tests/test_hexgrid.py pin the underlying math to the spec)."""
+    from geodata_spark import hexgrid as HG
+
+    pts = spark.range(24).select(
+        F.col("id").cast("long").alias("point_id"),
+        (F.lit(-78.0) + F.col("id") * F.lit(6.7)).alias("lat"),
+        (F.lit(-168.0) + F.col("id") * F.lit(14.3)).alias("lon"),
+    )
+    outs = []
+    for res in (5, 7):
+        outs.append(
+            pts.select(
+                "point_id",
+                F.lit(res).cast("int").alias("res"),
+                HG.hex7_token_udf(res)(F.col("lat"), F.col("lon")).alias("cell"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+_HEX_CELLS_SQL = """
+SELECT CAST(point_id AS BIGINT) AS point_id,
+       CAST(res AS INTEGER) AS res, cell
+FROM (VALUES
+  (0, 5, '0a600c35bfffffff'),
+  (1, 5, '0a6005897fffffff'),
+  (2, 5, '0a6052303fffffff'),
+  (3, 5, '0a21132abfffffff'),
+  (4, 5, '0a2101387fffffff'),
+  (5, 5, '0a811a863fffffff'),
+  (6, 5, '0a8105133fffffff'),
+  (7, 5, '0ae44064bfffffff'),
+  (8, 5, '0ae051457fffffff'),
+  (9, 5, '0ae155da3fffffff'),
+  (10, 5, '0b201b40ffffffff'),
+  (11, 5, '0b200996bfffffff'),
+  (12, 5, '0b3151b9bfffffff'),
+  (13, 5, '0b31169b7fffffff'),
+  (14, 5, '0b3502a37fffffff'),
+  (15, 5, '0b105865bfffffff'),
+  (16, 5, '0b14481c3fffffff'),
+  (17, 5, '0ab1585d3fffffff'),
+  (18, 5, '0ab1002abfffffff'),
+  (19, 5, '0a5108847fffffff'),
+  (20, 5, '0a511ac27fffffff'),
+  (21, 5, '0a70574dbfffffff'),
+  (22, 5, '0a7004827fffffff'),
+  (23, 5, '0a700ea6bfffffff'),
+  (0, 7, '0e600dc969ffffff'),
+  (1, 7, '0e60058965ffffff'),
+  (2, 7, '0e6052302effffff'),
+  (3, 7, '0e21132a86ffffff'),
+  (4, 7, '0e210138e9ffffff'),
+  (5, 7, '0e811a8631ffffff'),
+  (6, 7, '0e810513adffffff'),
+  (7, 7, '0ee4406491ffffff'),
+  (8, 7, '0ee0514192ffffff'),
+  (9, 7, '0ee155da8dffffff'),
+  (10, 7, '0f201b40c4ffffff'),
+  (11, 7, '0f21526d32ffffff'),
+  (12, 7, '0f3151b991ffffff'),
+  (13, 7, '0f31169b42ffffff'),
+  (14, 7, '0f3502a35affffff'),
+  (15, 7, '0f10586590ffffff'),
+  (16, 7, '0f14481cabffffff'),
+  (17, 7, '0eb1585c36ffffff'),
+  (18, 7, '0eb1002a93ffffff'),
+  (19, 7, '0e5108846effffff'),
+  (20, 7, '0e511ac25affffff'),
+  (21, 7, '0e70574db3ffffff'),
+  (22, 7, '0e700482ebffffff'),
+  (23, 7, '0e700ea699ffffff')
+) AS t(point_id, res, cell)
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -2297,6 +2382,9 @@ QUERIES = {
     "irr_enhanced_clearsky": q_irr_enhanced,
     "cell_area": q_cell_area,
     "mask_dilate": q_mask_dilate,
+    # round-5 additions (outside the driver window; listed as pending
+    # sweep in COVERAGE.md per tests/test_registry.py)
+    "hex_cells": q_hex_cells,
 }
 
 ORACLES = {
@@ -2370,4 +2458,6 @@ ORACLES = {
     "cell_cumsum_twophase": _CELL_CUMSUM_SQL,
     # union-trick window as-of vs DuckDB's native ASOF LEFT JOIN
     "events_asof": _EVENTS_ASOF_SQL,
+    # fixture-literal oracle: deterministic points -> pinned tokens
+    "hex_cells": _HEX_CELLS_SQL,
 }

@@ -300,6 +300,7 @@ def extract_zone_cells(
     spark: SparkSession,
     zones: dict[str, list[np.ndarray]] | None = None,
     res: int = 9,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-zone cell table — the discrete ``extract_shapes`` semi-join.
 
@@ -307,14 +308,31 @@ def extract_zone_cells(
     wholly inside the zone.  Boundary cells are resolved by testing the
     cell *center*, matching rasterio's all_touched=False default in the
     reference's clip (``mask.py:682``).
+
+    Uses the same strategy switch as :func:`join_zones`: zone sets up
+    to 2048 total vertices compile the center PIP into Catalyst (zero
+    Python anywhere in the plan); bigger sets fall back to the
+    Arrow-vectorized UDF.  The cover table is small, so this is about
+    plan consistency, not wall time.
     """
     zones = zones or ZONES
+    if strategy == "auto":
+        strategy = "expr" if _total_vertices(zones) <= 2048 else "udf"
     cover = zone_cover_df(spark, zones, res)
     cell_col = f"cell_r{res}"
     _, _, _, clat, clon = cells.decode_expr(F.col(cell_col))
     withc = cover.withColumn("_clat", clat).withColumn("_clon", clon)
-    pip = pip_udf(spark, zones)
+    if strategy == "expr":
+        keep = F.expr(
+            f"CASE WHEN NOT boundary THEN true "
+            f"ELSE {pip_zone_sql('_clat', '_clon', 'zone_id', zones)} END"
+        )
+    else:
+        pip = pip_udf(spark, zones)
+        keep = (~F.col("boundary")) | pip(
+            F.col("zone_id"), F.col("_clat"), F.col("_clon")
+        )
     return (
-        withc.filter((~F.col("boundary")) | pip(F.col("zone_id"), F.col("_clat"), F.col("_clon")))
+        withc.filter(keep)
         .select("zone_id", cell_col, (~F.col("boundary")).alias("interior"))
     )

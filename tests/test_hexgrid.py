@@ -1,0 +1,155 @@
+"""hexgrid: aperture-7 hexagonal index (H3-style) — fixture pins.
+
+Mirrors the S2 treatment in test_cells.py: hand-derived spec pins from
+the construction (face centers → all-zero digit tokens, unit lattice
+offsets → known digit sequences), global invariants, UDF ≡ numpy, and
+the canonical-H3 gate (documented Uber tokens behind ``import h3``,
+NotImplementedError contract when the wheel is absent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geodata_spark import hexgrid as H
+
+
+def _decode(cell: int) -> tuple[int, int, tuple[int, int, int], list[int]]:
+    cell = int(cell)
+    return (
+        (cell >> 57) & 0xF,
+        (cell >> 52) & 0x1F,
+        ((cell >> 50) & 3, (cell >> 48) & 3, (cell >> 46) & 3),
+        [(cell >> (45 - 3 * rr)) & 7 for rr in range(1, 16)],
+    )
+
+
+def test_res0_unit_matches_published_relation():
+    """The derived res-0 gnomonic unit equals H3's published
+    RES0_U_GNOMONIC ≈ 0.381966011250105 — it is a pure function of
+    icosahedron geometry (half the center→vertex gnomonic distance),
+    so the from-scratch construction must land on the same number."""
+    assert abs(H._RES0_U - 0.381966011250105) < 1e-12
+
+
+def test_face_centers_encode_to_zero_digits():
+    """A point AT a face center is at hex2d (0,0) on its own face at
+    every res: base ijk (0,0,0) and all digits 0 — the same kind of
+    by-construction pin as the S2 level-0 face tokens."""
+    lat = np.degrees(np.arcsin(H._FACE_CENTER[:, 2]))
+    lon = np.degrees(np.arctan2(H._FACE_CENTER[:, 1], H._FACE_CENTER[:, 0]))
+    for res in (0, 5, 7, 9):
+        for f, cell in enumerate(H.hex7_id_np(lat, lon, res)):
+            r, face, ijk, digs = _decode(cell)
+            assert (r, face, ijk) == (res, f, (0, 0, 0))
+            assert digs[:res] == [0] * res
+            assert digs[res:] == [7] * (15 - res)
+
+
+def test_unit_offset_digit_fixtures():
+    """A point constructed at exactly one lattice step from the face
+    center at res r must encode with digits 0...0,D where D is the
+    unit-vector digit — pinned for the I (4), J (2) and K (1) axes at
+    a Class III and a Class II res (the two aperture-7 rotations)."""
+    for res in (5, 6):  # class III, class II
+        scale = (7.0 ** (res / 2.0)) / H._RES0_U
+        for axial, want in [((1, 0), 4), ((0, 1), 2), ((-1, -1), 1)]:
+            # lattice point → 2D in the res frame
+            x2 = axial[0] - axial[1] / 2.0
+            y2 = axial[1] * np.sqrt(3.0) / 2.0
+            # res frame → physical gnomonic (undo Class III rotation)
+            rot = H._AP7_ROT if res % 2 == 1 else 0.0
+            gx = (x2 * np.cos(rot) - y2 * np.sin(rot)) / scale
+            gy = (x2 * np.sin(rot) + y2 * np.cos(rot)) / scale
+            p = H._FACE_CENTER[0] + gx * H._FACE_E1[0] + gy * H._FACE_E2[0]
+            p = p / np.linalg.norm(p)
+            lat = np.degrees(np.arcsin(p[2]))
+            lon = np.degrees(np.arctan2(p[1], p[0]))
+            r, face, ijk, digs = _decode(
+                H.hex7_id_np(np.array([lat]), np.array([lon]), res)[0]
+            )
+            assert (r, face, ijk) == (res, 0, (0, 0, 0))
+            assert digs[:res] == [0] * (res - 1) + [want], (res, axial, digs)
+
+
+def test_global_invariants():
+    """Random global points: res-0 ijk within the face budget (0-2),
+    every in-range digit a valid 0-6, faces 0-19, and the aperture-7
+    children-per-parent ratio ≈ 7 on a dense regional sample."""
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-89.9, 89.9, 50000)
+    lon = rng.uniform(-180.0, 180.0, 50000)
+    for res in (5, 9):
+        arr = H.hex7_id_np(lat, lon, res)
+        assert (((arr >> 50) & 3) <= 2).all()
+        assert (((arr >> 48) & 3) <= 2).all()
+        assert (((arr >> 46) & 3) <= 2).all()
+        faces = (arr >> 52) & 31
+        assert faces.min() >= 0 and faces.max() <= 19
+        for rr in range(1, res + 1):
+            assert (((arr >> (45 - 3 * rr)) & 7) <= 6).all()
+    dense_lat = rng.uniform(30, 35, 200000)
+    dense_lon = rng.uniform(10, 15, 200000)
+    n5 = len(np.unique(H.hex7_id_np(dense_lat, dense_lon, 5)))
+    n6 = len(np.unique(H.hex7_id_np(dense_lat, dense_lon, 6)))
+    assert 6.0 < n6 / n5 < 8.0
+
+
+def test_parent_truncation_exact_and_transitive():
+    """The hierarchy contract: parent-by-truncation is exact and
+    transitive (9→8→7 ≡ 9→7).  Direct multi-res encode is NOT
+    hierarchy-consistent (inherent aperture-7 property shared with
+    canonical H3 — see module docstring) and is pinned at its
+    measured ~2/3 agreement to catch regressions in either
+    direction."""
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(20, 60, 20000)
+    lon = rng.uniform(-40, 40, 20000)
+    i9 = H.hex7_id_np(lat, lon, 9)
+    p8 = H.hex7_parent_np(i9, 9, 8)
+    p7a = H.hex7_parent_np(p8, 8, 7)
+    p7b = H.hex7_parent_np(i9, 9, 7)
+    assert (p7a == p7b).all()
+    agree = float(np.mean(p8 == H.hex7_id_np(lat, lon, 8)))
+    assert 0.55 < agree < 0.75, agree
+
+
+def test_udf_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-60, 60, 64)
+    lon = rng.uniform(-150, 150, 64)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lon)], ["lat", "lon"]
+    )
+    import pyspark.sql.functions as F
+
+    got_tok = [
+        r[0]
+        for r in df.select(H.hex7_token_udf(7)(F.col("lat"), F.col("lon"))).collect()
+    ]
+    got_id = [
+        r[0] for r in df.select(H.hex7_id_udf(7)(F.col("lat"), F.col("lon"))).collect()
+    ]
+    assert got_tok == list(H.hex7_token_np(lat, lon, 7))
+    assert got_id == list(H.hex7_id_np(lat, lon, 7))
+    wide = H.with_hex_columns(df, resolutions=(5, 9))
+    assert {"hex7_r5", "hex7_r9"} <= set(wide.columns)
+
+
+def test_canonical_h3_gate():
+    """Without the h3 wheel the canonical UDF must raise the
+    documented NotImplementedError at DEFINITION time (not inside an
+    executor); with the wheel, the documented Uber example tokens
+    must come back (publicly pinned in the H3 docs/README)."""
+    try:
+        import h3  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        with pytest.raises(NotImplementedError, match="h3. wheel"):
+            H.h3_token_udf(9)
+        return
+    fn = getattr(h3, "latlng_to_cell", None) or getattr(h3, "geo_to_h3")
+    assert fn(37.3615593, -122.0553238, 5) == "85283473fffffff"
