@@ -660,6 +660,32 @@ def skew_bench() -> dict:
             _noop_write(df)
             times[name] = round(min(_timed(lambda: _noop_write(df)) for _ in range(3)), 3)
 
+        # as-of join: same union-window shape as the running sum (no
+        # limit pushdown), so the hot cell's 60% sorts on one task in
+        # the plain variant; bin_expr fans it out per 48-hour bin.
+        from geodata_spark.temporal import asof_join
+
+        def build_asof(bin_expr):
+            docs = spark.read.parquet(path)
+            pts = spatial.parse_geo_spans(docs).withColumn(
+                "cell_r9", cells.cell_expr(F.col("lat"), F.col("lon"), 9)
+            )
+            right = pts.select("cell_r9", F.col("hour").alias("ts"),
+                               "val", "doc_id")
+            left = pts.filter(F.col("span_idx") == 0).select(
+                "cell_r9", (F.col("hour") + 1).alias("ts")
+            )
+            return asof_join(
+                left, right, on=["cell_r9"], ts_col="ts",
+                right_cols=("val",), tiebreak_col="doc_id",
+                bin_expr=bin_expr,
+            )
+
+        for name, be in (("asof_binned", F.expr("ts div 48")), ("asof_plain", None)):
+            df = build_asof(be)
+            _noop_write(df)
+            times[name] = round(min(_timed(lambda: _noop_write(df)) for _ in range(3)), 3)
+
         # skew magnitude: share of span rows in the hottest (zone, day)
         hot = (
             build(None)
@@ -678,6 +704,8 @@ def skew_bench() -> dict:
             "window_topk_plain_sec": times["topk_plain"],
             "window_cumsum_twophase_sec": times["cumsum_twophase"],
             "window_cumsum_plain_sec": times["cumsum_plain"],
+            "asof_binned_sec": times["asof_binned"],
+            "asof_plain_sec": times["asof_plain"],
             "hot_group_share": round(hot["n_points"] / total_pts, 3),
             "hot_group": f"{hot['zone_id']}/day{hot['day_idx']}",
         }
@@ -736,6 +764,20 @@ Both emit identical rows (oracle row `cell_cumsum_twophase` pins
 exact equality with the serial window on dyadic values); the
 two-phase plan replaces the one-task hot-cell sort with one task per
 (cell, 48-hour bin) plus a tiny per-bin base-offset window.
+
+**As-of join** (latest at-or-before right row per cell — the union-
+trick window, same no-pushdown shape as the running sum):
+
+| variant | wall sec |
+|---|---|
+| bin-split as-of (`bin_expr = ts div 48`) | {times['asof_binned']} |
+| plain union window | {times['asof_plain']} |
+
+Rows are exactly equal (pinned in tests/test_sources_plans.py:
+test_asof_join_binned_equals_plain — hot key, duplicate timestamps,
+both directions, tolerance on/off); the binned plan sorts the hot
+cell one task per (cell, 48-hour bin) with a keys-by-bins carry
+window stitching across bins.
 """
             )
         return report

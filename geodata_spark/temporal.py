@@ -20,16 +20,19 @@ any windowed query, with zero pair explosion.  DuckDB's native
 ``ASOF LEFT JOIN`` is the independent oracle (queries.py
 ``events_asof``).
 
-Skew note: a hot key sorts on one task, like any window.  If one key
-dominates, pre-split by a monotone time-range bin exactly as
-ranking.grouped_prefix_sum does — the carried value crosses bins via
-a per-bin "last right row" broadcast; not needed at the driver's
-event-table scale.
+Skew note: a hot key sorts on one task, like any window.  Pass
+``bin_expr`` (a deterministic expression monotone non-decreasing in
+the timestamp, e.g. ``F.col("ts") div 3600``) to switch to the
+bin-split path — the grouped_prefix_sum scheme applied to as-of:
+local carry within (key, bin), then a tiny keys×bins window computes
+the latest right row of strictly earlier bins and a coalesce stitches
+the two.  Exactly equal to the plain path (pinned by test), with the
+hot key sorting one task PER BIN instead of one task total.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -44,6 +47,7 @@ def asof_join(
     tolerance_seconds: float | None = None,
     tiebreak_col: str | None = None,
     direction: str = "backward",
+    bin_expr: Column | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row with ``r.ts <= l.ts`` per key
     (``direction="backward"``, the default), or the EARLIEST right row
@@ -65,6 +69,12 @@ def asof_join(
     stitching a tuple that never existed (and diverging from the
     DuckDB ASOF oracle).  A struct is non-null whenever the right ROW
     exists, so ``last(struct, ignorenulls)`` is row-atomic.
+
+    ``bin_expr`` (optional) enables the skew-resilient bin-split path:
+    it must be a deterministic expression over the union'd columns,
+    MONOTONE NON-DECREASING in ``ts_col`` (e.g. ``F.expr("ts div
+    3600")``).  Results are exactly those of the plain path; the hot
+    key's sort fans out to one task per (key, bin).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -104,20 +114,67 @@ def asof_join(
     # as-of), ties among right rows resolved by _tie so last() is
     # deterministic
     ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("_side").desc(), F.col("_tie").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        *out_cols,
-        "_side",
-        F.last("_r", ignorenulls=True).over(w).alias("_m"),
-    )
-    res = (
-        filled.filter(F.col("_side") == 0)
-        .select(*out_cols, *[F.col(f"_m.{c}").alias(c) for c in carried])
-    )
+    if bin_expr is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, F.col("_side").desc(), F.col("_tie").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.select(
+            *out_cols,
+            "_side",
+            F.last("_r", ignorenulls=True).over(w).alias("_m"),
+        )
+        res = (
+            filled.filter(F.col("_side") == 0)
+            .select(*out_cols, *[F.col(f"_m.{c}").alias(c) for c in carried])
+        )
+    else:
+        # ---- skew (bin-split) path: one sort task per (key, bin) ----
+        # bin_expr must be deterministic and MONOTONE NON-DECREASING in
+        # ts_col (e.g. ts div 3600) — the grouped_prefix_sum contract.
+        ub = u.withColumn("_bin", bin_expr)
+        w_loc = (
+            Window.partitionBy(*on, "_bin")
+            .orderBy(ts_order, F.col("_side").desc(), F.col("_tie").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = ub.select(
+            *out_cols,
+            "_side",
+            "_bin",
+            F.last("_r", ignorenulls=True).over(w_loc).alias("_mloc"),
+        )
+        # per-bin extreme right row, in two levels so equal-ts ties
+        # resolve exactly like the plain window (largest _tie wins):
+        # level 1 collapses (key, bin, ts) to the max-_tie row; level 2
+        # takes the latest (backward) / earliest (forward) ts per bin.
+        lvl1 = ub.groupBy(*on, "_bin", ts_col).agg(
+            F.max(F.when(F.col("_side") == 1, F.struct("_tie", "_r"))).alias("_m1")
+        )
+        ext = F.when(F.col("_m1").isNotNull(), F.struct(ts_col, "_m1"))
+        lvl2 = lvl1.groupBy(*on, "_bin").agg(
+            (F.max(ext) if direction == "backward" else F.min(ext)).alias("_ext")
+        )
+        # cross-bin carry: latest right row from STRICTLY EARLIER bins
+        # (backward; mirror for forward).  Rows = keys x bins, tiny.
+        bin_order = F.col("_bin").asc() if direction == "backward" else F.col("_bin").desc()
+        w_carry = (
+            Window.partitionBy(*on)
+            .orderBy(bin_order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = lvl2.select(
+            *on,
+            "_bin",
+            F.last("_ext", ignorenulls=True).over(w_carry)["_m1"]["_r"].alias("_mcarry"),
+        )
+        res = (
+            local.filter(F.col("_side") == 0)
+            .join(carry, [*on, "_bin"], "left")
+            .withColumn("_m", F.coalesce(F.col("_mloc"), F.col("_mcarry")))
+            .select(*out_cols, *[F.col(f"_m.{c}").alias(c) for c in carried])
+        )
     if tolerance_seconds is not None:
         matched_ts = F.col(f"{ts_col}{suffix}")
         gap = (

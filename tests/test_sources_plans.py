@@ -347,3 +347,49 @@ def test_asof_join_ignores_null_right_timestamps(spark):
         tiebreak_col="rid",
     ).collect()[0]
     assert r2["rv_asof"] is None and r2["ts_asof"] is None
+
+
+def test_asof_join_binned_equals_plain(spark):
+    """The bin-split skew path (bin_expr) must return EXACTLY the
+    plain union-window rows — hot key, duplicate timestamps, both
+    directions, with and without tolerance — while the big window
+    partitions by (key, _bin) so no key sorts on a single task."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geodata_spark.temporal import asof_join
+
+    rng = np.random.default_rng(0)
+    k = rng.integers(0, 8, 800)
+    k[:400] = 0  # hot key
+    R = spark.createDataFrame(
+        [
+            (int(a), int(b), float(c), int(d))
+            for a, b, c, d in zip(
+                k, rng.integers(0, 200, 800), rng.integers(0, 99, 800), range(800)
+            )
+        ],
+        "k long, ts long, rv double, rid long",
+    )
+    L = spark.createDataFrame(
+        [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 8, 500), rng.integers(0, 200, 500))
+        ],
+        "k long, ts long",
+    )
+    for direction in ("backward", "forward"):
+        for tol in (None, 20.0):
+            kw = dict(
+                on=["k"], ts_col="ts", right_cols=("rv",), tiebreak_col="rid",
+                direction=direction, tolerance_seconds=tol,
+            )
+            plain = sorted(map(tuple, asof_join(L, R, **kw).collect()))
+            binned = asof_join(L, R, bin_expr=F.expr("ts div 32"), **kw)
+            assert sorted(map(tuple, binned.collect())) == plain
+    plan = (
+        asof_join(L, R, bin_expr=F.expr("ts div 32"), on=["k"], ts_col="ts",
+                  right_cols=("rv",), tiebreak_col="rid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_bin" in plan
