@@ -2306,6 +2306,56 @@ FROM (VALUES
 """
 
 
+def q_events_asof_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW path of the as-of join (temporal.asof_join with
+    bin_expr): identical semantics to `events_asof`, different plan —
+    the hot user's sort fans out one task per day bin with a
+    keys-by-bins carry window.  Shares `events_asof`'s DuckDB native
+    ASOF oracle, so the oracle row proves plan-independence of the
+    answer (the same guarantee the two-phase top-k / prefix-sum rows
+    give their plain twins)."""
+    from geodata_spark.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], ts_col="ts",
+        right_cols=("value",), tiebreak_col="event_id",
+        # parquet stores TIMESTAMP_NTZ which has no direct long cast;
+        # NTZ→TS→epoch is the same bridge the sessionization query uses
+        bin_expr=F.expr("cast(cast(ts as timestamp) as long) div 86400"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value_asof").alias("view_value"),
+        F.col("ts_asof").alias("view_ts"),
+    )
+
+
+def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-integrated hexagonal rollup: geo spans → hex7 res-5 cell
+    (Arrow UDF inside the scan stage) → count + dyadic sum per cell.
+    No SQL oracle (the encode is numpy math DuckDB cannot run) —
+    rows-only driver check; the encode itself is pinned by the
+    `hex_cells` fixture-literal oracle and tests/test_hexgrid.py."""
+    from geodata_spark import hexgrid as HG
+
+    docs = corpus(spark, sf_dir)
+    pts = spatial.parse_geo_spans(docs)
+    enc = pts.withColumn("hex5", HG.hex7_token_udf(5)(F.col("lat"), F.col("lon")))
+    return enc.groupBy("hex5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("val").alias("val_sum"),
+    )
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -2385,6 +2435,8 @@ QUERIES = {
     # round-5 additions (outside the driver window; listed as pending
     # sweep in COVERAGE.md per tests/test_registry.py)
     "hex_cells": q_hex_cells,
+    "events_asof_binned": q_events_asof_binned,
+    "hex_rollup": q_hex_rollup,
 }
 
 ORACLES = {
@@ -2460,4 +2512,8 @@ ORACLES = {
     "events_asof": _EVENTS_ASOF_SQL,
     # fixture-literal oracle: deterministic points -> pinned tokens
     "hex_cells": _HEX_CELLS_SQL,
+    # the binned as-of MUST reproduce the same native-ASOF oracle rows
+    "events_asof_binned": _EVENTS_ASOF_SQL,
+    # hex_rollup: intentionally NO oracle entry (numpy encode is not
+    # SQL-expressible) -> driver records the weaker rows-only check
 }

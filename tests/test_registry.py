@@ -60,5 +60,12 @@ def test_documented_pending_keys_exist():
     assert not unknown, f"COVERAGE.md pending-sweep lists unknown queries: {sorted(unknown)}"
 
 
+# Queries with intentionally NO SQL oracle (non-SQL-expressible; the
+# driver records the weaker rows-only check).  Keep this list short and
+# every entry justified in the query docstring.
+ROWS_ONLY = {"hex_rollup"}
+
+
 def test_every_query_is_oracle_paired():
-    assert set(QUERIES) == set(ORACLES)
+    assert set(QUERIES) - ROWS_ONLY == set(ORACLES)
+    assert not (set(ORACLES) & ROWS_ONLY), "rows-only query gained an oracle: update ROWS_ONLY"
