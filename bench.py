@@ -383,13 +383,24 @@ def scaling() -> dict:
     rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
     env = dict(os.environ, BENCH_N_DOCS=str(n), BENCH_PREP_MULT=str(prep_mult))
     # pre-build both corpora at full parallelism so the (slow) child
-    # sessions never pay one-time materialization
-    spark = _session("local[32]", 32, heavy=True)
-    try:
-        ensure_corpus(spark, n)
-        ensure_prepared(spark, n * prep_mult)
-    finally:
-        spark.stop()
+    # sessions never pay one-time materialization — in a SUBPROCESS:
+    # spark.stop() leaves the parent's py4j JVM (8 GiB pre-touched, 32
+    # idle threads) resident for the whole sweep, which the cluster
+    # sweep measured degrading children ~6x.  Never hold a JVM while
+    # children are being timed.
+    if not (
+        os.path.exists(os.path.join(corpus_path(n), "_SUCCESS"))
+        and os.path.exists(os.path.join(prepared_path(n * prep_mult), "_SUCCESS"))
+    ):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--prebuild"],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"--prebuild failed (rc={proc.returncode}); stderr tail:\n"
+                f"{proc.stderr[-2000:]}"
+            )
     # same-day hardware controls: the sandbox's SMT/bandwidth ceilings
     # drift with co-tenant load, so controls measured in a different
     # session are not comparable — measure them NOW, same host state.
@@ -480,7 +491,15 @@ def scaling() -> dict:
         "normalized_prepared_8_to_32": round(norm_prep_8_32, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve the --cluster mode's marker block across full rewrites
+    _bl_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    _cluster_block = ""
+    if os.path.exists(_bl_path):
+        _old = open(_bl_path).read()
+        _b, _e = "<!-- cluster-scaling:begin -->", "<!-- cluster-scaling:end -->"
+        if _b in _old and _e in _old:
+            _cluster_block = "\n" + _b + _old.split(_b)[1].split(_e)[0] + _e + "\n"
+    with open(_bl_path, "w") as f:
         f.write(
             f"""# BENCH — flagship throughput & scaling
 
@@ -1050,6 +1069,8 @@ the layout is durable across sessions (catalog metadata), unlike the
 positional repartitionByRange of the prepared path.
 """
         )
+        if _cluster_block:
+            f.write(_cluster_block)
     return report
 
 
