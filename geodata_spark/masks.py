@@ -373,3 +373,94 @@ def load_mask(spark, path: str) -> DataFrame:
 
 def with_cell(df: DataFrame, res: int = 9) -> DataFrame:
     return df.withColumn("cell", cells.cell_expr(F.col("lat"), F.col("lon"), res))
+
+
+# ---------------------------------------------------------------------------
+# raster → vector: boundary contour segments
+# ---------------------------------------------------------------------------
+
+def contour_segments(
+    mask: DataFrame,
+    dlat: float,
+    dlon: float,
+    y_col: str = "y_idx",
+    x_col: str = "x_idx",
+    val_col: str = "value",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Boundary segments of a binarized mask — the raster→VECTOR
+    direction (rasterio.features.shapes' edge-extraction step before
+    ring assembly; reference mask workflows go vector→raster via
+    geometry_mask, mask.py:682 — this is the inverse primitive).
+
+    For every nonzero cell of a DENSE (y, x) grid, emits one row per
+    exposed edge (a 4-neighbor that is zero or off-grid):
+    (y_idx, x_idx, edge N|S|E|W, lat0, lon0, lat1, lon1) with the
+    segment endpoints on the cell's corner coordinates (± half-step).
+    Ring assembly (stitching segments into polygons) is a driver-side
+    concern at the zone scale the engine targets; the segment table
+    itself is the distributed product.
+
+    Scale shape: two window passes — neighbors along x (partition by
+    row) and along y (partition by column) — so the grid shuffles
+    twice by a line key; no self-join, no explosion.  Endpoint math
+    stays dyadic when dlat/dlon are (0.5 / 0.625 here), keeping the
+    DuckDB twin bit-exact.
+    """
+    from pyspark.sql.window import Window
+
+    b = F.when(F.col(val_col) != 0, F.lit(1)).otherwise(F.lit(0))
+    m = mask.select(
+        F.col(y_col).alias("_y"),
+        F.col(x_col).alias("_x"),
+        F.col(lat_col).alias("_lat"),
+        F.col(lon_col).alias("_lon"),
+        b.alias("_b"),
+    )
+    wx = Window.partitionBy("_y").orderBy("_x")
+    wy = Window.partitionBy("_x").orderBy("_y")
+    n = m.select(
+        "*",
+        F.coalesce(F.lag("_b").over(wx), F.lit(0)).alias("_west"),
+        F.coalesce(F.lead("_b").over(wx), F.lit(0)).alias("_east"),
+        F.coalesce(F.lag("_b").over(wy), F.lit(0)).alias("_south"),
+        F.coalesce(F.lead("_b").over(wy), F.lit(0)).alias("_north"),
+    ).filter(F.col("_b") == 1)
+    hlat, hlon = float(dlat) / 2.0, float(dlon) / 2.0
+    lat_lo = F.col("_lat") - F.lit(hlat)
+    lat_hi = F.col("_lat") + F.lit(hlat)
+    lon_lo = F.col("_lon") - F.lit(hlon)
+    lon_hi = F.col("_lon") + F.lit(hlon)
+    seg = F.struct  # alias for brevity
+    edges = F.array(
+        F.when(F.col("_west") == 0,
+               seg(F.lit("W").alias("edge"), lat_lo.alias("lat0"),
+                   lon_lo.alias("lon0"), lat_hi.alias("lat1"),
+                   lon_lo.alias("lon1"))),
+        F.when(F.col("_east") == 0,
+               seg(F.lit("E").alias("edge"), lat_lo.alias("lat0"),
+                   lon_hi.alias("lon0"), lat_hi.alias("lat1"),
+                   lon_hi.alias("lon1"))),
+        F.when(F.col("_south") == 0,
+               seg(F.lit("S").alias("edge"), lat_lo.alias("lat0"),
+                   lon_lo.alias("lon0"), lat_lo.alias("lat1"),
+                   lon_hi.alias("lon1"))),
+        F.when(F.col("_north") == 0,
+               seg(F.lit("N").alias("edge"), lat_hi.alias("lat0"),
+                   lon_lo.alias("lon0"), lat_hi.alias("lat1"),
+                   lon_hi.alias("lon1"))),
+    )
+    out = n.select(
+        F.col("_y").alias("y_idx"),
+        F.col("_x").alias("x_idx"),
+        F.explode(F.filter(edges, lambda e: e.isNotNull())).alias("_e"),
+    )
+    return out.select(
+        "y_idx", "x_idx",
+        F.col("_e.edge").alias("edge"),
+        F.col("_e.lat0").alias("lat0"),
+        F.col("_e.lon0").alias("lon0"),
+        F.col("_e.lat1").alias("lat1"),
+        F.col("_e.lon1").alias("lon1"),
+    )

@@ -152,3 +152,52 @@ def split_expr_sql(train_pct: int = 80, val_pct: int = 10,
         f"(CASE WHEN {b} < {train_pct} THEN 'train' "
         f"WHEN {b} < {train_pct + val_pct} THEN 'val' ELSE 'test' END)"
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    hash_mode: str = "xxhash64",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling (training-data mixing).
+
+    Keeps a document iff ``hash(doc_id) % 100 < rates_pct[stratum]``
+    — the standard way a pretraining pipeline reweights sources
+    ("keep 10% of crawl, 100% of books"): no RNG state, so the sample
+    is identical across runs, engines, retries and cluster sizes, and
+    a document's fate never depends on which stratum peers exist.
+    Same hash family as :func:`dataset_split`; the two compose (a doc
+    keeps one split assignment whether or not it is sampled) because
+    the sampling hash is salted differently.
+
+    Scale shape: a pure row filter — no shuffle, no state; predicate
+    evaluates inside the scan stage.
+    """
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("sample|"), F.col(id_col).cast("string")),
+               _SEED, hash_mode),
+        F.lit(100),
+    )
+    thr = F.lit(int(default_pct))
+    for name, pct in sorted(rates_pct.items()):
+        thr = F.when(F.col(stratum_col) == name, F.lit(int(pct))).otherwise(thr)
+    return docs.filter(bucket < thr)
+
+
+def stratified_sample_sql(
+    stratum_sql: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB predicate twin of :func:`stratified_sample` (md5_60)."""
+    salted = f"'sample|' || CAST({id_col} AS VARCHAR)"
+    b = f"({hash60_sql(salted, _SEED)} % 100)"
+    cases = " ".join(
+        f"WHEN {stratum_sql} = '{name}' THEN {int(pct)}"
+        for name, pct in sorted(rates_pct.items())
+    )
+    return f"({b} < (CASE {cases} ELSE {int(default_pct)} END))"

@@ -2356,6 +2356,153 @@ def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mask_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→VECTOR boundary extraction: binarize the elevation layer
+    (< 3000, the reference's suitability bound) and emit the exposed
+    cell-edge segments of the resulting mask
+    (masks.contour_segments — the inverse of the reference's
+    vector→raster geometry_mask, mask.py:682)."""
+    from geodata_spark import masks
+    from geodata_spark.synth import DLAT, DLON, synth_mask_layers
+
+    elev = synth_mask_layers(spark).filter(F.col("layer") == "elevation")
+    b = masks.filter_raster(elev, max_bound=3000, binarize=True)
+    return masks.contour_segments(b, dlat=DLAT, dlon=DLON)
+
+
+def _mask_contours_sql() -> str:
+    from geodata_spark import masks as _m
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0, mask_layers_sql_cte
+
+    val = _m.filter_raster_sql(max_bound=3000, binarize=True)
+    hlat, hlon = DLAT / 2.0, DLON / 2.0
+    return f"""
+WITH {mask_layers_sql_cte()},
+grid AS (
+  SELECT CAST(round((lat - {LAT0!r}) / {DLAT!r}) AS BIGINT) AS y_idx,
+         CAST(round((lon - {LON0!r}) / {DLON!r}) AS BIGINT) AS x_idx,
+         lat, lon,
+         CASE WHEN ({val}) <> 0 THEN 1 ELSE 0 END AS b
+  FROM maskl WHERE layer = 'elevation'
+),
+nb AS (
+  SELECT *,
+         coalesce(lag(b)  OVER (PARTITION BY y_idx ORDER BY x_idx), 0) AS w,
+         coalesce(lead(b) OVER (PARTITION BY y_idx ORDER BY x_idx), 0) AS e,
+         coalesce(lag(b)  OVER (PARTITION BY x_idx ORDER BY y_idx), 0) AS s,
+         coalesce(lead(b) OVER (PARTITION BY x_idx ORDER BY y_idx), 0) AS n
+  FROM grid
+)
+SELECT y_idx, x_idx, edge, lat0, lon0, lat1, lon1 FROM (
+  SELECT y_idx, x_idx, 'W' AS edge,
+         lat - {hlat!r} AS lat0, lon - {hlon!r} AS lon0,
+         lat + {hlat!r} AS lat1, lon - {hlon!r} AS lon1, b, w AS nbv FROM nb
+  UNION ALL
+  SELECT y_idx, x_idx, 'E',
+         lat - {hlat!r}, lon + {hlon!r}, lat + {hlat!r}, lon + {hlon!r}, b, e FROM nb
+  UNION ALL
+  SELECT y_idx, x_idx, 'S',
+         lat - {hlat!r}, lon - {hlon!r}, lat - {hlat!r}, lon + {hlon!r}, b, s FROM nb
+  UNION ALL
+  SELECT y_idx, x_idx, 'N',
+         lat + {hlat!r}, lon - {hlon!r}, lat + {hlat!r}, lon + {hlon!r}, b, n FROM nb
+)
+WHERE b = 1 AND nbv = 0
+"""
+
+
+def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell linear interpolation of NULL gaps in the wind series
+    (temporal.gapfill_linear): deterministic synthetic gaps, then the
+    backward/forward ignorenulls carry + one-division interpolation.
+    Dyadic values + integer hours → bit-exact vs the DuckDB windows."""
+    from geodata_spark.temporal import gapfill_linear
+
+    gv = _gv(spark).select("lat", "lon", "hour", "wnd100m")
+    gap = (
+        (F.col("hour") * F.lit(31) + (F.col("lon") * F.lit(16)).cast("long"))
+        % F.lit(7) == F.lit(3)
+    )
+    gappy = gv.withColumn(
+        "wnd_gappy", F.when(gap, F.lit(None).cast("double")).otherwise(F.col("wnd100m"))
+    )
+    out = gapfill_linear(
+        gappy, keys=["lat", "lon"], t_col="hour", val_col="wnd_gappy",
+        out_col="wnd_filled",
+    )
+    return out.select("lat", "lon", "hour", "wnd_gappy", "wnd_filled")
+
+
+_GAPFILL_SQL = f"""
+WITH {{gv_cte}},
+gappy AS (
+  SELECT lat, lon, hour,
+         CASE WHEN (hour * 31 + CAST(lon * 16 AS BIGINT)) % 7 = 3
+              THEN NULL ELSE wnd100m END AS wnd_gappy
+  FROM gridv
+),
+carried AS (
+  SELECT lat, lon, hour, wnd_gappy,
+         last_value(CASE WHEN wnd_gappy IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER wback AS pt,
+         last_value(wnd_gappy IGNORE NULLS) OVER wback AS pv,
+         first_value(CASE WHEN wnd_gappy IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER wfwd AS nt,
+         first_value(wnd_gappy IGNORE NULLS) OVER wfwd AS nv
+  FROM gappy
+  WINDOW
+    wback AS (PARTITION BY lat, lon ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wfwd AS (PARTITION BY lat, lon ORDER BY hour
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT lat, lon, hour, wnd_gappy,
+       CASE
+         WHEN wnd_gappy IS NOT NULL THEN wnd_gappy
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (CAST(hour AS DOUBLE) - CAST(pt AS DOUBLE))
+                          / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE))
+         WHEN pv IS NOT NULL THEN pv
+         WHEN nv IS NOT NULL THEN nv
+       END AS wnd_filled
+FROM carried
+"""
+
+
+_STRATA_SQL = (
+    "(CASE WHEN length(text) < 600 THEN 'short' "
+    "WHEN length(text) < 900 THEN 'mid' ELSE 'long' END)"
+)
+_STRATA_RATES = {"short": 25, "mid": 50, "long": 100}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum subsampling (training-data source
+    mixing: keep 25% of short docs, 50% mid, 100% long) —
+    packing.stratified_sample, md5-hash gated so both engines and any
+    cluster size keep the identical document set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stratum = (
+        F.when(F.length("text") < 600, F.lit("short"))
+        .when(F.length("text") < 900, F.lit("mid"))
+        .otherwise(F.lit("long"))
+    )
+    d = docs.withColumn("stratum", stratum)
+    kept = PK.stratified_sample(
+        d, "stratum", _STRATA_RATES, hash_mode="md5_60"
+    )
+    return kept.select("doc_id", "stratum")
+
+
+def _stratified_sample_sql() -> str:
+    pred = PK.stratified_sample_sql(_STRATA_SQL, _STRATA_RATES)
+    return f"""
+SELECT doc_id, {_STRATA_SQL} AS stratum
+FROM documents
+WHERE {pred}
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -2437,6 +2584,9 @@ QUERIES = {
     "hex_cells": q_hex_cells,
     "events_asof_binned": q_events_asof_binned,
     "hex_rollup": q_hex_rollup,
+    "mask_contours": q_mask_contours,
+    "gapfill_linear": q_gapfill_linear,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -2514,6 +2664,9 @@ ORACLES = {
     "hex_cells": _HEX_CELLS_SQL,
     # the binned as-of MUST reproduce the same native-ASOF oracle rows
     "events_asof_binned": _EVENTS_ASOF_SQL,
+    "mask_contours": _mask_contours_sql(),
+    "gapfill_linear": _GAPFILL_SQL.format(gv_cte=_GV_CTE),
+    "stratified_sample": _stratified_sample_sql(),
     # hex_rollup: intentionally NO oracle entry (numpy encode is not
     # SQL-expressible) -> driver records the weaker rows-only check
 }

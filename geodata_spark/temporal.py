@@ -191,3 +191,49 @@ def asof_join(
             ],
         )
     return res
+
+
+def gapfill_linear(
+    df: DataFrame,
+    keys: list[str],
+    t_col: str,
+    val_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Per-key linear interpolation of NULL gaps in a time series.
+
+    For every row, the nearest non-null neighbours in time bracket the
+    gap: ``filled = prev + (next - prev) * (t - t_prev) / (t_next -
+    t_prev)``; leading/trailing gaps carry the single available
+    neighbour (nearest-carry boundary).  The reference's temporal
+    handling interpolates on the dense xarray axis (cutout resampling,
+    preparation.py); a relational series needs the windowed form.
+
+    Scale shape: two frames over ONE per-key sort — a backward
+    ``last(non-null, ignorenulls)`` and a forward ``first(non-null,
+    ignorenulls)`` share the same (keys, t) window partitioning, so
+    the plan shuffles once.  Bit-exactness: with dyadic values and
+    integer timestamps every step is a single IEEE op (the division's
+    operands are exact), so the DuckDB twin matches bit-for-bit — no
+    tolerance needed.
+    """
+    w = Window.partitionBy(*keys).orderBy(t_col)
+    carry = F.when(
+        F.col(val_col).isNotNull(), F.struct(F.col(t_col).alias("t"), F.col(val_col).alias("v"))
+    )
+    prev = F.last(carry, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.first(carry, ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+        F.col(t_col).cast("double") - prev["t"].cast("double")
+    ) / (nxt["t"].cast("double") - prev["t"].cast("double"))
+    filled = (
+        F.when(F.col(val_col).isNotNull(), F.col(val_col))
+        .when(prev.isNotNull() & nxt.isNotNull(), interp)
+        .when(prev.isNotNull(), prev["v"])
+        .when(nxt.isNotNull(), nxt["v"])
+    )
+    return df.withColumn(out_col, filled)

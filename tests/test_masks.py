@@ -196,3 +196,37 @@ def test_dilate_zero_radius_is_binarize(spark):
     src = prot.toPandas()
     assert (out.sort_values(["y_idx", "x_idx"])["value"].to_numpy()
             == (src.sort_values(["y_idx", "x_idx"])["value"].to_numpy() != 0)).all()
+
+
+def test_contour_segments_semantics(spark):
+    """3x3 mask with a center hole: outer boundary 12 segments + inner
+    hole 4 segments; an isolated cell emits all 4 edges."""
+    from geodata_spark import masks
+
+    rows = []
+    for y in range(3):
+        for x in range(3):
+            v = 0.0 if (y, x) == (1, 1) else 1.0
+            rows.append((y, x, float(y), float(x), v))
+    # isolated cell far away (same dense-grid contract: its row
+    # neighbours in the window are 2 apart, treated as absent only
+    # off-grid — so place it on its own row/column)
+    rows.append((10, 10, 10.0, 10.0, 1.0))
+    df = spark.createDataFrame(
+        rows, "y_idx long, x_idx long, lat double, lon double, value double"
+    )
+    segs = masks.contour_segments(df, dlat=1.0, dlon=1.0).collect()
+    per_cell = {}
+    for r in segs:
+        per_cell.setdefault((r["y_idx"], r["x_idx"]), []).append(r["edge"])
+    # isolated cell: all four edges
+    assert sorted(per_cell[(10, 10)]) == ["E", "N", "S", "W"]
+    # center hole: the 4 ring cells adjacent to (1,1) each expose the
+    # edge facing the hole; corners expose only outer edges
+    assert "E" in per_cell[(1, 0)] and "W" in per_cell[(1, 2)]
+    assert "N" in per_cell[(0, 1)] and "S" in per_cell[(2, 1)]
+    # total: 12 outer + 4 inner + 4 isolated = 20
+    assert len(segs) == 20
+    # segment endpoints sit on half-step corners
+    s = [r for r in segs if (r["y_idx"], r["x_idx"]) == (10, 10) and r["edge"] == "W"][0]
+    assert (s["lat0"], s["lon0"], s["lat1"], s["lon1"]) == (9.5, 9.5, 10.5, 9.5)

@@ -393,3 +393,50 @@ def test_asof_join_binned_equals_plain(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "_bin" in plan
+
+
+def test_gapfill_linear_semantics(spark):
+    """Interior gaps interpolate linearly; leading/trailing gaps carry
+    the nearest neighbour; non-null rows pass through untouched."""
+    from geodata_spark.temporal import gapfill_linear
+
+    rows = [
+        (1, 0, None), (1, 1, 10.0), (1, 2, None), (1, 3, None),
+        (1, 4, 40.0), (1, 5, None),
+        (2, 0, 5.0), (2, 1, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {
+        (r["k"], r["t"]): r["filled"]
+        for r in gapfill_linear(df, ["k"], "t", "v").collect()
+    }
+    assert out[(1, 0)] == 10.0          # leading gap: carry next
+    assert out[(1, 1)] == 10.0
+    assert out[(1, 2)] == 20.0          # 10 + (40-10)*(2-1)/(4-1)
+    assert out[(1, 3)] == 30.0
+    assert out[(1, 5)] == 40.0          # trailing gap: carry prev
+    assert out[(2, 1)] == 5.0
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    """Same rows kept across invocations and row orders; per-stratum
+    keep rates track the configured percentages."""
+    from pyspark.sql import functions as F
+
+    from geodata_spark.pipeline.packing import stratified_sample
+
+    df = spark.createDataFrame(
+        [(f"d{i:05d}", "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id string, stratum string",
+    )
+    kept1 = {r["doc_id"] for r in stratified_sample(df, "stratum", {"a": 30, "b": 80}).collect()}
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df.orderBy(F.rand(3)), "stratum", {"a": 30, "b": 80}
+        ).collect()
+    }
+    assert kept1 == kept2
+    a = sum(1 for d in kept1 if int(d[1:]) % 2 == 0) / 1000
+    b = sum(1 for d in kept1 if int(d[1:]) % 2 == 1) / 1000
+    assert 0.22 < a < 0.38 and 0.72 < b < 0.88
