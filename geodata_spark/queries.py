@@ -2503,6 +2503,61 @@ WHERE {pred}
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval-overlap join (temporal.interval_join): per user,
+    click instants joined to the 30-minute attention window opened by
+    each view event.  The DuckDB oracle is the plain range join —
+    two different algorithms (bin + anchor dedup vs theta join), same
+    pairs."""
+    from geodata_spark.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        epoch.alias("start"),
+        (epoch + F.lit(1800)).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        epoch.alias("cstart"),
+        epoch.alias("cend"),
+    )
+    out = interval_join(
+        views, clicks, on=["user_id"], bin_width=1800,
+        l_start="start", l_end="end", r_start="cstart", r_end="cend",
+    )
+    return out.select(
+        "user_id", "view_id", "click_id",
+        F.col("start").cast("long").alias("view_start"),
+        F.col("cstart").cast("long").alias("click_ts"),
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+WITH v AS (
+  -- floor(epoch): Spark's cast(timestamp as long) TRUNCATES to whole
+  -- seconds while DuckDB's epoch() keeps the fraction (and a later
+  -- BIGINT cast would round) -- align on the truncated value
+  SELECT user_id, event_id AS view_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS vstart,
+         CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS vend
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, event_id AS click_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS cts
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id AS user_id, v.view_id AS view_id, c.click_id AS click_id,
+       v.vstart AS view_start, c.cts AS click_ts
+FROM v JOIN c
+  ON v.user_id = c.user_id AND v.vstart <= c.cts AND c.cts <= v.vend
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -2587,6 +2642,7 @@ QUERIES = {
     "mask_contours": q_mask_contours,
     "gapfill_linear": q_gapfill_linear,
     "stratified_sample": q_stratified_sample,
+    "interval_join": q_interval_join,
 }
 
 ORACLES = {
@@ -2667,6 +2723,8 @@ ORACLES = {
     "mask_contours": _mask_contours_sql(),
     "gapfill_linear": _GAPFILL_SQL.format(gv_cte=_GV_CTE),
     "stratified_sample": _stratified_sample_sql(),
+    # binned interval join vs DuckDB's plain range join
+    "interval_join": _INTERVAL_JOIN_SQL,
     # hex_rollup: intentionally NO oracle entry (numpy encode is not
     # SQL-expressible) -> driver records the weaker rows-only check
 }

@@ -237,3 +237,57 @@ def gapfill_linear(
         .when(nxt.isNotNull(), nxt["v"])
     )
     return df.withColumn(out_col, filled)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    bin_width: int,
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+) -> DataFrame:
+    """Inclusive interval-overlap join without a range explosion.
+
+    Spark has no native interval join: the naive ``l.start <= r.end
+    AND r.start <= l.end`` theta-join degenerates to a per-key cross
+    product.  The binned form replicates every interval onto the
+    ``bin_width``-sized time bins it touches (``sequence`` + explode,
+    ~len/width + 1 copies), equi-joins on (keys, bin), applies the
+    exact overlap predicate, and keeps each matched pair exactly once
+    by anchoring it to the single bin containing the overlap's start
+    — no distinct pass, no duplicate rows by construction.
+
+    Start/end columns must be NUMERIC (cast timestamps to epoch
+    seconds first).  Cost: one equi-shuffle of the replicated rows;
+    pick ``bin_width`` near the typical interval length so the
+    replication factor stays ~2 and a bin's population stays bounded
+    (the 100 TB criterion: candidate pairs ∝ Σ per-bin products, the
+    same budget shape as the LSH band joins in pipeline/dedup.py).
+    """
+    lw = F.floor(F.col(l_start) / bin_width)
+    lh = F.floor(F.col(l_end) / bin_width)
+    lb = left.withColumn("_bin", F.explode(F.sequence(lw, lh)))
+    rw = F.floor(F.col(r_start) / bin_width)
+    rh = F.floor(F.col(r_end) / bin_width)
+    rb = right.withColumn("_bin", F.explode(F.sequence(rw, rh)))
+    l_cols = [c for c in left.columns if c not in on]
+    j = lb.alias("l").join(rb.alias("r"), on + ["_bin"])
+    overlap = (F.col(f"l.{l_start}") <= F.col(f"r.{r_end}")) & (
+        F.col(f"r.{r_start}") <= F.col(f"l.{l_end}")
+    )
+    anchor = F.floor(
+        F.greatest(F.col(f"l.{l_start}"), F.col(f"r.{r_start}")) / bin_width
+    )
+    out_cols = (
+        [F.col(f"l.{c}") for c in on]
+        + [F.col(f"l.{c}").alias(c) for c in l_cols]
+        + [
+            F.col(f"r.{c}").alias(c if c not in l_cols + on else f"{c}_r")
+            for c in right.columns
+            if c not in on
+        ]
+    )
+    return j.filter(overlap & (F.col("_bin") == anchor)).select(*out_cols)

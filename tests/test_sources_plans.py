@@ -440,3 +440,64 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     a = sum(1 for d in kept1 if int(d[1:]) % 2 == 0) / 1000
     b = sum(1 for d in kept1 if int(d[1:]) % 2 == 1) / 1000
     assert 0.22 < a < 0.38 and 0.72 < b < 0.88
+
+
+def test_interval_join_binned_no_explosion(spark):
+    """Binned interval join: exact overlap pairs (vs a brute-force
+    theta join), each matched pair exactly once despite multi-bin
+    replication, and the plan joins on the (key, bin) equi-keys —
+    no CartesianProduct / BroadcastNestedLoop."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geodata_spark.temporal import interval_join
+
+    rng = np.random.default_rng(4)
+    L = spark.createDataFrame(
+        [
+            (int(k), int(i), int(s), int(s + d))
+            for i, (k, s, d) in enumerate(
+                zip(rng.integers(0, 5, 300), rng.integers(0, 5000, 300),
+                    rng.integers(0, 200, 300))
+            )
+        ],
+        "k long, lid long, start long, end long",
+    )
+    R = spark.createDataFrame(
+        [
+            (int(k), int(i), int(s), int(s + d))
+            for i, (k, s, d) in enumerate(
+                zip(rng.integers(0, 5, 300), rng.integers(0, 5000, 300),
+                    rng.integers(0, 200, 300))
+            )
+        ],
+        "k long, rid long, rstart long, rend long",
+    )
+    out = interval_join(L, R, on=["k"], bin_width=128,
+                        l_start="start", l_end="end",
+                        r_start="rstart", r_end="rend")
+    got = sorted((r["k"], r["lid"], r["rid"]) for r in out.collect())
+    brute = sorted(
+        (r["k"], r["lid"], r["rid"])
+        for r in L.join(R, "k")
+        .filter((F.col("start") <= F.col("rend")) & (F.col("rstart") <= F.col("end")))
+        .collect()
+    )
+    assert got == brute and len(got) == len(set(got))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_gapfill_single_shuffle(spark):
+    """Both gap-fill carries share one (keys, t) sort: the plan holds
+    exactly one Exchange below the windows."""
+    from geodata_spark.temporal import gapfill_linear
+
+    df = spark.createDataFrame(
+        [(1, 0, None), (1, 1, 2.0)], "k long, t long, v double"
+    )
+    plan = (
+        gapfill_linear(df, ["k"], "t", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
