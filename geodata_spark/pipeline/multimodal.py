@@ -162,8 +162,9 @@ def extract_features(media: DataFrame, width: int = 8, height: int = 8,
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage: plumbing real (schema + passthrough), kernel stubbed
-    to the deterministic fake (a real deployment swaps fake_decode)."""
+    """Legacy feature-at-size stage (kept for media_features).  The
+    REAL resize kernel is :func:`bilinear_resize` below, driven
+    end-to-end by :func:`resize_media`."""
     return extract_features(media, width=width, height=height)
 
 
@@ -173,3 +174,122 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.filter(
         F.pmod(F.xxhash64("doc_id", "media_ref"), F.lit(every_n)) == 0
     )
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real vectorized bilinear resample (half-pixel-center convention,
+    the OpenCV/PIL ``align_corners=False`` default).
+
+    This is the genuine resize KERNEL — only the codec in front of it
+    is stubbed (decode_stub/fake_decode): when a deployment drops
+    PIL/ffmpeg behind decode_stub, this same kernel resizes the real
+    frames unchanged.
+    """
+    h, w = img.shape
+    a = img.astype(np.float64)
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    fy, fx = ys - y0f, xs - x0f
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    top = (1.0 - fx)[None, :] * a[np.ix_(y0, x0)] + fx[None, :] * a[np.ix_(y0, x1)]
+    bot = (1.0 - fx)[None, :] * a[np.ix_(y1, x0)] + fx[None, :] * a[np.ix_(y1, x1)]
+    return (1.0 - fy)[:, None] * top + fy[:, None] * bot
+
+
+RESIZED_SCHEMA = (
+    "doc_id string, media_ref string, width int, height int, pixels binary"
+)
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    src_w: int = 8,
+    src_h: int = 8,
+) -> DataFrame:
+    """Decode → bilinear resize → re-encode as raw uint8 rows.
+
+    mapInPandas (iterator form): the fake decode is per-row numpy, the
+    resize is the real kernel above, and the output pixels travel as a
+    binary column — the batch shape a real image pipeline uses.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                img = fake_decode(bytes(payload), src_w, src_h)
+                r = np.clip(np.rint(bilinear_resize(img, out_h, out_w)), 0, 255)
+                out.append(r.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "width": np.full(len(out), out_w, dtype=np.int32),
+                    "height": np.full(len(out), out_h, dtype=np.int32),
+                    "pixels": out,
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def fake_video_decode(
+    payload: bytes, n_frames: int = 4, height: int = 8, width: int = 8
+) -> np.ndarray:
+    """Deterministic stand-in video decode: bytes → (n, h, w) uint8."""
+    need = n_frames * height * width
+    reps = (need + len(payload) - 1) // len(payload)
+    return np.frombuffer((payload * reps)[:need], dtype=np.uint8).reshape(
+        n_frames, height, width
+    )
+
+
+FRAME_SCHEMA = (
+    "doc_id string, media_ref string, frame_idx int, f_mean double, f_std double"
+)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    stride: int = 2,
+    n_frames: int = 4,
+    height: int = 8,
+    width: int = 8,
+) -> DataFrame:
+    """Per-FRAME sampling: decode the (stubbed) video, keep every
+    ``stride``-th frame, emit one row per kept frame with per-frame
+    stats — the row-explosion shape of a real frame-sampling stage
+    (unlike the hash row-filter in :func:`sample_frames`, this
+    operates inside the decoded payload)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, refs, idxs, means, stds = [], [], [], [], []
+            for doc_id, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                vid = fake_video_decode(bytes(payload), n_frames, height, width)
+                for k in range(0, n_frames, stride):
+                    f = vid[k].astype(np.float64)
+                    ids.append(doc_id)
+                    refs.append(ref)
+                    idxs.append(k)
+                    means.append(float(f.mean()))
+                    stds.append(float(f.std()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_ref": refs,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "f_mean": means,
+                    "f_std": stds,
+                }
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)

@@ -414,3 +414,59 @@ def test_media_dedup_survivor_struct_ordering(spark):
     assert out[0]["survivor_doc"] == "doc10"
     assert out[0]["survivor_ref"] == "img|z"
     assert out[0]["n_copies"] == 2
+
+
+def test_bilinear_resize_math():
+    """Hand-pinned bilinear semantics (half-pixel centers): identity
+    resize is exact, constant images stay constant at any size, 2x2 →
+    4x4 interpolates the known corner/center pattern, and a full
+    downsample to 1x1 equals the image mean."""
+    import numpy as np
+
+    from geodata_spark.pipeline.multimodal import bilinear_resize
+
+    img = np.arange(16, dtype=np.float64).reshape(4, 4)
+    assert np.allclose(bilinear_resize(img, 4, 4), img)
+    const = np.full((5, 7), 42.0)
+    for shape in ((2, 2), (9, 3), (13, 13)):
+        assert np.allclose(bilinear_resize(const, *shape), 42.0)
+    two = np.array([[0.0, 10.0], [20.0, 30.0]])
+    up = bilinear_resize(two, 4, 4)
+    # corners clamp to source corners; the two central columns/rows
+    # interpolate at 1/4 and 3/4 weights
+    assert up[0, 0] == 0.0 and up[3, 3] == 30.0
+    assert np.isclose(up[0, 1], 2.5) and np.isclose(up[0, 2], 7.5)
+    assert np.isclose(up[1, 0], 5.0) and np.isclose(up[2, 0], 15.0)
+    assert np.isclose(up[1, 1], 7.5) and np.isclose(up[2, 2], 22.5)
+    assert np.isclose(bilinear_resize(two, 1, 1)[0, 0], two.mean())
+
+
+def test_resize_media_and_video_frames(spark):
+    """End-to-end resize + frame-sample stages: output schema, byte
+    shape, and values matching a local numpy twin of the same
+    (fake-decoded) payloads."""
+    import numpy as np
+
+    from geodata_spark.pipeline import multimodal as MM
+
+    df = spark.createDataFrame(
+        [("d1", "img:a", bytearray(b"abcdefgh" * 8)),
+         ("d2", "img:b", bytearray(b"zyxw" * 16))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    out = {r["doc_id"]: r for r in MM.resize_media(df, out_w=4, out_h=4).collect()}
+    assert out["d1"]["width"] == 4 and out["d1"]["height"] == 4
+    for doc, payload in (("d1", b"abcdefgh" * 8), ("d2", b"zyxw" * 16)):
+        img = MM.fake_decode(payload, 8, 8)
+        want = np.clip(np.rint(MM.bilinear_resize(img, 4, 4)), 0, 255).astype(np.uint8)
+        got = np.frombuffer(bytes(out[doc]["pixels"]), dtype=np.uint8).reshape(4, 4)
+        assert (got == want).all()
+    frames = MM.sample_video_frames(df, stride=2, n_frames=4).collect()
+    # 2 docs x frames {0, 2}
+    assert sorted((r["doc_id"], r["frame_idx"]) for r in frames) == [
+        ("d1", 0), ("d1", 2), ("d2", 0), ("d2", 2)
+    ]
+    vid = MM.fake_video_decode(b"abcdefgh" * 8, 4, 8, 8)
+    want_mean = float(vid[2].astype(np.float64).mean())
+    got_mean = [r["f_mean"] for r in frames if (r["doc_id"], r["frame_idx"]) == ("d1", 2)][0]
+    assert got_mean == want_mean
