@@ -478,3 +478,66 @@ pairs AS (
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 """
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair list → (node, component).
+
+    Hash-min label propagation: every node starts as its own label and
+    repeatedly adopts the minimum label among itself and its
+    neighbours; at the fixpoint each component is labelled by its
+    smallest member.  This is the TRANSITIVE step of near-dedup (A~B,
+    B~C ⇒ {A,B,C} one cluster) that the pairwise MinHash/SimHash
+    outputs deliberately leave to the caller.
+
+    Scale shape: one equi-join + min-aggregate per iteration, and the
+    iteration count is the graph DIAMETER — near-dup graphs are tiny
+    cliques/chains, so a handful of rounds; each round
+    localCheckpoints to keep the plan from growing (the same
+    iterative-convergence discipline as masks.filter_area).  Raises
+    after ``max_iter`` rounds rather than returning a half-converged
+    labelling.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("_nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_nbl"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_nbl"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("_nbl"), F.col("label")) < F.col("label")).cast("long").alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.agg(F.sum("_chg")).first()[0] or 0
+        labels = stepped.drop("_chg")
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds the bound — raise max_iter)"
+    )

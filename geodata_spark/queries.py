@@ -2558,6 +2558,49 @@ FROM v JOIN c
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash+LSH verified pairs →
+    connected components (hash-min label propagation), each cluster
+    labelled by its smallest doc id.  The DuckDB oracle computes the
+    same components by a RECURSIVE CTE transitive closure — two
+    utterly different algorithms (iterative join fixpoint vs recursive
+    set expansion), same labelling."""
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
+    pairs = DD.minhash_dedup(docs, threshold=0.3, hash_mode="md5_60")
+    out = DD.connected_components(pairs)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    # reuse the full MinHash pipeline SQL, demote its final SELECT to a
+    # `pairs` CTE, and close over it with a recursive transitive walk
+    base = DD.minhash_dedup_sql(threshold=0.3)
+    head, tail = base.split("\nSELECT i.id_a", 1)
+    pairs_select = "SELECT i.id_a" + tail
+    return f"""{head.replace("WITH ", "WITH RECURSIVE ", 1)},
+pairs AS (
+{pairs_select}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(label) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -2643,6 +2686,7 @@ QUERIES = {
     "gapfill_linear": q_gapfill_linear,
     "stratified_sample": q_stratified_sample,
     "interval_join": q_interval_join,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -2725,6 +2769,8 @@ ORACLES = {
     "stratified_sample": _stratified_sample_sql(),
     # binned interval join vs DuckDB's plain range join
     "interval_join": _INTERVAL_JOIN_SQL,
+    # iterative hash-min fixpoint vs recursive-CTE transitive closure
+    "dedup_clusters": _dedup_clusters_sql(),
     # hex_rollup: intentionally NO oracle entry (numpy encode is not
     # SQL-expressible) -> driver records the weaker rows-only check
 }

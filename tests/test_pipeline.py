@@ -470,3 +470,30 @@ def test_resize_media_and_video_frames(spark):
     want_mean = float(vid[2].astype(np.float64).mean())
     got_mean = [r["f_mean"] for r in frames if (r["doc_id"], r["frame_idx"]) == ("d1", 2)][0]
     assert got_mean == want_mean
+
+
+def test_connected_components_semantics(spark):
+    """Chain, triangle, isolated pair: components labelled by smallest
+    member; convergence raises past max_iter on a long path with an
+    insufficient bound."""
+    import pytest as _pytest
+
+    from geodata_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain {1,2,3,4}
+         (10, 11), (11, 12), (10, 12),  # triangle {10,11,12}
+         (20, 21)],                     # pair {20,21}
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # a 12-node path needs ~11 propagation rounds; max_iter=2 must
+    # refuse to return a half-converged labelling
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=2)
+    full = connected_components(path)
+    assert {r["component"] for r in full.collect()} == {100}
