@@ -793,7 +793,11 @@ sorts the hot cell's 60% of geo spans on one task):
 Both emit identical rows (oracle row `cell_cumsum_twophase` pins
 exact equality with the serial window on dyadic values); the
 two-phase plan replaces the one-task hot-cell sort with one task per
-(cell, 48-hour bin) plus a tiny per-bin base-offset window.
+(cell, 48-hour bin) plus a tiny per-bin base-offset window.  Wall
+times at this corpus size drift on both sides of 1.0x with co-tenant
+load (the extra per-bin aggregation trades against the shorter sort);
+the one-task sort it removes is the binding constraint only once a
+hot key outgrows a single task's sort budget.
 
 **As-of join** (latest at-or-before right row per cell — the union-
 trick window, same no-pushdown shape as the running sum):
@@ -807,7 +811,13 @@ Rows are exactly equal (pinned in tests/test_sources_plans.py:
 test_asof_join_binned_equals_plain — hot key, duplicate timestamps,
 both directions, tolerance on/off); the binned plan sorts the hot
 cell one task per (cell, 48-hour bin) with a keys-by-bins carry
-window stitching across bins.
+window stitching across bins.  Honest read of the wall times: at this
+corpus size the pair lands within shared-host noise of each other
+(observed on both sides of 1.0x across runs) because the binned path
+pays two extra small aggregations for its carry — the structural win
+is the per-bin sort fan-out, which binds when one key's rows exceed a
+task's sort budget (far beyond this bench corpus; the plan shape, not
+this wall clock, is the 100x claim).
 """
             )
         return report
