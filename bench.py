@@ -367,6 +367,27 @@ def run_one(master: str) -> dict:
         spark.stop()
 
 
+def _ensure_prebuilt(env: dict, n: int, prep_mult: int) -> None:
+    """Build the bench corpora in a SUBPROCESS if absent: spark.stop()
+    leaves the parent's py4j JVM (8 GiB pre-touched, 32 idle threads)
+    resident for the whole sweep, which was measured degrading
+    4-worker children ~6x.  Never hold a JVM while children are
+    being timed."""
+    if os.path.exists(os.path.join(corpus_path(n), "_SUCCESS")) and os.path.exists(
+        os.path.join(prepared_path(n * prep_mult), "_SUCCESS")
+    ):
+        return
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--prebuild"],
+        capture_output=True, text=True, timeout=3600, env=env,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"--prebuild failed (rc={proc.returncode}); stderr tail:\n"
+            f"{proc.stderr[-2000:]}"
+        )
+
+
 def scaling() -> dict:
     # Bigger corpus than the default bench: at ~10s of wall the fixed
     # costs (stage scheduling, file open, codegen) drown the signal —
@@ -382,25 +403,7 @@ def scaling() -> dict:
     # rounds filters it
     rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
     env = dict(os.environ, BENCH_N_DOCS=str(n), BENCH_PREP_MULT=str(prep_mult))
-    # pre-build both corpora at full parallelism so the (slow) child
-    # sessions never pay one-time materialization — in a SUBPROCESS:
-    # spark.stop() leaves the parent's py4j JVM (8 GiB pre-touched, 32
-    # idle threads) resident for the whole sweep, which the cluster
-    # sweep measured degrading children ~6x.  Never hold a JVM while
-    # children are being timed.
-    if not (
-        os.path.exists(os.path.join(corpus_path(n), "_SUCCESS"))
-        and os.path.exists(os.path.join(prepared_path(n * prep_mult), "_SUCCESS"))
-    ):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--prebuild"],
-            capture_output=True, text=True, timeout=3600, env=env,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"--prebuild failed (rc={proc.returncode}); stderr tail:\n"
-                f"{proc.stderr[-2000:]}"
-            )
+    _ensure_prebuilt(env, n, prep_mult)
     # same-day hardware controls: the sandbox's SMT/bandwidth ceilings
     # drift with co-tenant load, so controls measured in a different
     # session are not comparable — measure them NOW, same host state.
@@ -582,6 +585,8 @@ Companion measurements (same protocol, separate modes):
   exact brute-force twin) next to wall time.
 """
         )
+        if _cluster_block:
+            f.write(_cluster_block)
     return report
 
 
@@ -1065,9 +1070,9 @@ efficiency is NOT the bucketed pair's bar — plain spends most of its
 time in shuffle, which parallelizes elastically, while the co-located
 join is scan+merge-bound with zero exchange.  Its ceiling is the
 same-session BARE SCAN control (both halves scanned and
-materialized row-by-row into the noop sink, no join): bucketed128 8→32 = **{report['bucketed128_eff_8_to_32']}** vs
+materialized row-by-row into the noop sink, no join): bucketed{BUCKET_COUNTS[-1]} 8→32 = **{report[f'bucketed{BUCKET_COUNTS[-1]}_eff_8_to_32']}** vs
 scan control 8→32 = **{report['scanctl_eff_8_to_32']}** (2→8:
-{report['bucketed128_eff_2_to_8']} vs
+{report[f'bucketed{BUCKET_COUNTS[-1]}_eff_2_to_8']} vs
 {report['scanctl_eff_2_to_8']}).  When the bucketed curve rides the
 scan ceiling, the layout scales at the host's I/O limit — the
 absolute 2-3x win over plain at every width is the durable part.
@@ -1079,8 +1084,6 @@ the layout is durable across sessions (catalog metadata), unlike the
 positional repartitionByRange of the prepared path.
 """
         )
-        if _cluster_block:
-            f.write(_cluster_block)
     return report
 
 
@@ -1184,27 +1187,7 @@ def cluster_scaling() -> dict:
     n = int(os.environ.get("BENCH_SCALING_DOCS", str(16 * N_DOCS)))
     prep_mult = int(os.environ.get("BENCH_PREP_MULT", str(max(1, 192_000_000 // n))))
     env = dict(os.environ, BENCH_N_DOCS=str(n), BENCH_PREP_MULT=str(prep_mult))
-    # pre-build corpora at full local parallelism — but ONLY if absent:
-    # spark.stop() leaves the parent's py4j JVM (8 GiB pre-touched, 32
-    # idle threads) alive for the entire sweep, and its residency was
-    # measured to degrade the 4-worker children by ~6x (flagship 9.5s
-    # vs 1.6s with no parent JVM).  Never hold a JVM while children run.
-    need = not (
-        os.path.exists(os.path.join(corpus_path(n), "_SUCCESS"))
-        and os.path.exists(
-            os.path.join(prepared_path(n * prep_mult), "_SUCCESS")
-        )
-    )
-    if need:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--prebuild"],
-            capture_output=True, text=True, timeout=3600, env=env,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"--prebuild failed (rc={proc.returncode}); stderr tail:\n"
-                f"{proc.stderr[-2000:]}"
-            )
+    _ensure_prebuilt(env, n, prep_mult)
 
     os.makedirs(os.path.join(CACHE, "cluster_logs"), exist_ok=True)
     logs = os.path.join(CACHE, "cluster_logs")

@@ -507,6 +507,10 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: `pairs` is usually an expensive unexecuted
+        # plan (the MinHash/LSH band join) that would otherwise be
+        # recomputed by the join in EVERY propagation round
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -2685,8 +2685,6 @@ QUERIES = {
     "events_topk": q_events_topk,
     "events_sessions": q_events_sessions,
     "zonal_grouping_sets": q_zonal_grouping_sets,
-    # round-5 additions (outside the driver window; listed as pending
-    # sweep in COVERAGE.md per tests/test_registry.py)
 }
 
 ORACLES = {
