@@ -578,8 +578,10 @@ Companion measurements (same protocol, separate modes):
   2-3x faster at every parallelism level; the durable cell-id
   co-location layout of the north rule.
 - `BENCH/SKEW.md` (`python bench.py --skew`) — 60%-hot-cell corpus:
-  salted vs unsalted aggregation, two-phase vs plain windows
-  (grouped_prefix_sum wins ~1.3x on the running-sum shape; top-k is
+  salted vs unsalted aggregation, two-phase vs plain windows and
+  as-of joins (the two-phase running-sum/as-of pairs win ~1.15-1.2x
+  on a quiet host and flip within noise under co-tenant load — the
+  durable claim is the per-bin sort fan-out, see SKEW.md; top-k is
   natively two-phased by InferWindowGroupLimit).
 - The default bench JSON now includes ANN recall@10 (IVF / LSH vs the
   exact brute-force twin) next to wall time.
