@@ -173,3 +173,89 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", F.expr(fingerprint_sql(text_col, d)))
         .withColumn("quality", F.expr(quality_score_sql(text_col, d)))
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (corpus-relative term salience)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF.
+
+    Terms = lowercase alphanumeric runs.  Salience uses the RATIO form
+    of smoothed inverse document frequency, ``(N + 1) / (df + 1)``,
+    instead of its logarithm: the ranking it induces per document is
+    identical (log is monotone), and the score stays a single IEEE
+    division of exact integers, so the DuckDB oracle matches
+    bit-for-bit — a log would drag libm differences into the compare.
+
+    Scale shape: token explode → (doc, term) counts (map-side partial
+    agg) → per-term document frequency (second agg, term-keyed) joined
+    back BROADCAST when the vocabulary is small, shuffle otherwise
+    (left to the optimizer/AQE here) → rank window per doc over that
+    doc's DISTINCT terms only (bounded fan-in, never corpus-wide).
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(df_, "term").select(
+        id_col,
+        "term",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(id_col, F.col("rnk").cast("long").alias("rnk"), "term", "score")
+    )
+
+
+def tfidf_top_terms_sql(top_k: int = 3, doc_filter: str = "TRUE") -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` (documents table)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term AS term
+  FROM documents,
+       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE {doc_filter} AND t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE {doc_filter}),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE)
+           * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) DESC,
+                            tf.term ASC) AS rnk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score
+FROM scored WHERE rnk <= {int(top_k)}
+"""

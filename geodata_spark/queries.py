@@ -2601,6 +2601,15 @@ FROM walk GROUP BY node
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms over the documents table
+    (pipeline.text.tfidf_top_terms).  Ratio-form smoothed IDF keeps the
+    score a single IEEE division of exact integers — bit-exact across
+    engines where a log would not be."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.tfidf_top_terms(docs, top_k=3)
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -2685,6 +2694,7 @@ QUERIES = {
     "events_topk": q_events_topk,
     "events_sessions": q_events_sessions,
     "zonal_grouping_sets": q_zonal_grouping_sets,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -2769,6 +2779,7 @@ ORACLES = {
     "interval_join": _INTERVAL_JOIN_SQL,
     # iterative hash-min fixpoint vs recursive-CTE transitive closure
     "dedup_clusters": _dedup_clusters_sql(),
+    "tfidf_top_terms": TX.tfidf_top_terms_sql(top_k=3),
     # hex_rollup: intentionally NO oracle entry (numpy encode is not
     # SQL-expressible) -> driver records the weaker rows-only check
 }

@@ -497,3 +497,29 @@ def test_connected_components_semantics(spark):
         connected_components(path, max_iter=2)
     full = connected_components(path)
     assert {r["component"] for r in full.collect()} == {100}
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """Rare terms outrank common ones; per-doc ranking deterministic
+    (score desc, term asc); top_k bounds output."""
+    from geodata_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("d1", "apple banana banana common common"),
+         ("d2", "common cherry"),
+         ("d3", "common common durian")],
+        "doc_id string, text string",
+    )
+    rows = tfidf_top_terms(docs, top_k=2).collect()
+    top = {r["doc_id"]: [] for r in rows}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["rnk"])):
+        top[r["doc_id"]].append(r["term"])
+    # 'common' appears in all 3 docs → idf ratio (3+1)/(3+1) = 1.0;
+    # doc-unique terms carry ratio (3+1)/(1+1) = 2.0
+    # d2: cherry 1*2.0 = 2.0 beats common 1*1.0 = 1.0
+    assert top["d2"] == ["cherry", "common"]
+    # d3: common tf=2 → 2.0 TIES durian 1*2.0 → term-asc breaks it
+    assert top["d3"] == ["common", "durian"]
+    # d1: banana 2*2.0 = 4.0, then the apple/common 2.0 tie term-asc
+    assert top["d1"] == ["banana", "apple"]
+    assert all(r["rnk"] <= 2 for r in rows)
