@@ -248,21 +248,15 @@ def _is_class_iii(res: int) -> bool:
     return res % 2 == 1
 
 
-def hex7_id_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
-    """Vectorized (lat, lon) degrees → 64-bit hex7 cell id at ``res``."""
-    if not 0 <= res <= 15:
-        raise ValueError(f"res must be 0..15, got {res}")
-    face, x, y = _geo_to_face_xy(lat, lon)
-    r = np.hypot(x, y)
-    theta = np.arctan2(y, x)
-    # Class III final lattice is rotated by asin(sqrt(3/28))
-    if _is_class_iii(res):
-        theta = theta - _AP7_ROT
-    scale = (_SQRT7 ** res) / _RES0_U
-    gx = r * scale * np.cos(theta)
-    gy = r * scale * np.sin(theta)
-    i, j, k = _hex2d_to_ijk(gx, gy)
+def _pack_ijk(face: np.ndarray, i: np.ndarray, j: np.ndarray, k: np.ndarray,
+              res: int) -> np.ndarray:
+    """Absolute res-``res`` IJK on ``face`` → packed 64-bit id.
 
+    The integer digit walk from the original encoder, factored out so
+    face-local algebra (:func:`hex7_local_disk_np`) can re-pack shifted
+    IJK without any float round trip.  Bit-identical to the historical
+    inline form (the `hex_cells` fixture-literal oracle pins this).
+    """
     digits = np.full((len(i), 15), 7, dtype=np.int64)
     for rr in range(res, 0, -1):
         li, lj, lk = i, j, k
@@ -290,6 +284,69 @@ def hex7_id_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
     return out
 
 
+def _face_xy_to_ijk(x: np.ndarray, y: np.ndarray, res: int
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gnomonic face-plane coords → absolute IJK at ``res`` (scale +
+    Class III rotation + lattice round)."""
+    r = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    # Class III final lattice is rotated by asin(sqrt(3/28))
+    if _is_class_iii(res):
+        theta = theta - _AP7_ROT
+    scale = (_SQRT7 ** res) / _RES0_U
+    gx = r * scale * np.cos(theta)
+    gy = r * scale * np.sin(theta)
+    return _hex2d_to_ijk(gx, gy)
+
+
+def hex7_id_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized (lat, lon) degrees → 64-bit hex7 cell id at ``res``."""
+    if not 0 <= res <= 15:
+        raise ValueError(f"res must be 0..15, got {res}")
+    face, x, y = _geo_to_face_xy(lat, lon)
+    i, j, k = _face_xy_to_ijk(x, y, res)
+    return _pack_ijk(face, i, j, k, res)
+
+
+def _geo_to_forced_face_xy(lat: np.ndarray, lon: np.ndarray, face: int
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Gnomonic projection onto ONE face's tangent plane (no argmax).
+
+    A single face's gnomonic lattice extends smoothly past the face's
+    icosahedron edges, so coordinates stay well-defined (and the hex
+    grid unbroken) in a band around the face — the property the
+    face-local join keys rely on."""
+    p = _to_xyz(np.asarray(lat, np.float64), np.asarray(lon, np.float64))
+    c = _FACE_CENTER[face]
+    denom = p @ c
+    t = p / denom[:, None]
+    x = (t - c) @ _FACE_E1[face]
+    y = (t - c) @ _FACE_E2[face]
+    return x, y
+
+
+def hex7_local_id_np(lat: np.ndarray, lon: np.ndarray, res: int, face: int) -> np.ndarray:
+    """Encode under a FORCED face: the cell of ``face``'s unbroken
+    gnomonic hex lattice containing the point.  Equals
+    :func:`hex7_id_np` whenever ``face`` is the point's argmax face."""
+    x, y = _geo_to_forced_face_xy(lat, lon, face)
+    i, j, k = _face_xy_to_ijk(x, y, res)
+    return _pack_ijk(np.full(len(i), np.int64(face)), i, j, k, res)
+
+
+def hex7_faces_np(lat: np.ndarray, lon: np.ndarray, margin_rad: float) -> np.ndarray:
+    """(N, 20) bool mask: faces within ``margin_rad`` angular distance
+    of each point's best face (always includes the argmax face).
+
+    The face set any point within arc distance d of this point might
+    canonically use is covered by ``margin_rad >= 2 d`` (triangle
+    inequality on angles to face centers) — the guarantee the
+    face-local kNN join's source side is built on."""
+    p = _to_xyz(np.asarray(lat, np.float64), np.asarray(lon, np.float64))
+    ang = np.arccos(np.clip(p @ _FACE_CENTER.T, -1.0, 1.0))   # (N, 20)
+    return ang <= (ang.min(axis=1, keepdims=True) + margin_rad)
+
+
 def hex7_token_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
     """hex7 ids rendered as 16-char hex tokens."""
     ids = hex7_id_np(lat, lon, res)
@@ -297,6 +354,324 @@ def hex7_token_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
     for n, c in enumerate(ids):
         out[n] = format(int(c) & 0xFFFFFFFFFFFFFFFF, "016x")
     return out
+
+
+# digit → unit IJK (inverse of _DIGIT; row d is the offset for digit d)
+_UNIT_IJK = np.array(
+    [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+     [1, 0, 0], [1, 0, 1], [1, 1, 0]], dtype=np.int64,
+)
+
+
+def hex7_decode_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of the digit walk: id → (res, face, absolute IJK at res).
+
+    Reconstruction replays the encode in reverse — res-0 IJK, then per
+    res a class-matched down-aperture (``_down_ap7``/``_down_ap7r``)
+    plus the stored digit's unit vector.  Exact because the digit was
+    defined as ``child - down(up(child))`` modulo the (1,1,1) null
+    direction, and every step here is integer arithmetic.
+    """
+    cell = np.asarray(cell, dtype=np.int64)
+    res = (cell >> np.int64(57)) & np.int64(0xF)
+    face = (cell >> np.int64(52)) & np.int64(0x1F)
+    i = (cell >> np.int64(50)) & np.int64(0x3)
+    j = (cell >> np.int64(48)) & np.int64(0x3)
+    k = (cell >> np.int64(46)) & np.int64(0x3)
+    for rr in range(1, 16):
+        act = rr <= res
+        if not np.any(act):
+            break
+        if _is_class_iii(rr):
+            di, dj, dk = _down_ap7(i, j, k)
+        else:
+            di, dj, dk = _down_ap7r(i, j, k)
+        dig = (cell >> np.int64(45 - 3 * rr)) & np.int64(7)
+        u = _UNIT_IJK[np.where(act, dig, 0)]
+        ni, nj, nk = _ijk_normalize(di + u[:, 0], dj + u[:, 1], dk + u[:, 2])
+        i = np.where(act, ni, i)
+        j = np.where(act, nj, j)
+        k = np.where(act, nk, k)
+    return res, face, i, j, k
+
+
+def _ijk_to_hex2d(i: np.ndarray, j: np.ndarray, k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`_hex2d_to_ijk`'s lattice convention: axial
+    (i-k, j-k) center sits at 2D (ai - aj/2, aj*sin60)."""
+    ai = (i - k).astype(np.float64)
+    aj = (j - k).astype(np.float64)
+    return ai - aj / 2.0, aj * _SIN60
+
+
+def _face_ijk_to_geo(
+    res: np.ndarray, face: np.ndarray, i: np.ndarray, j: np.ndarray, k: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(res, face, IJK) → cell-center lat/lon degrees.
+
+    Exact inverse of the encode chain: un-rotate the Class III lattice,
+    un-scale by sqrt7^res, then invert the gnomonic projection (the
+    tangent-plane point re-normalized to the sphere).
+    """
+    hx, hy = _ijk_to_hex2d(i, j, k)
+    r = np.hypot(hx, hy)
+    theta = np.arctan2(hy, hx)
+    cls3 = (np.asarray(res) % 2) == 1
+    theta = theta + np.where(cls3, _AP7_ROT, 0.0)  # encode subtracted it
+    scale = (_SQRT7 ** np.asarray(res, np.float64)) / _RES0_U
+    fx = (r / scale) * np.cos(theta)
+    fy = (r / scale) * np.sin(theta)
+    c = _FACE_CENTER[face]
+    t = c + fx[:, None] * _FACE_E1[face] + fy[:, None] * _FACE_E2[face]
+    t = t / np.linalg.norm(t, axis=1, keepdims=True)
+    lat = np.degrees(np.arcsin(np.clip(t[:, 2], -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(t[:, 1], t[:, 0]))
+    return lat, lon
+
+
+def hex7_center_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id → center (lat, lon) degrees, in the cell's OWN face
+    frame.  For face-interior cells ``hex7_id_np(center) == cell``
+    (round-trip pinned by tests); for the documented edge-split cells
+    the center may canonically re-home to the adjacent face — callers
+    that need canonical ids re-encode (as :func:`hex7_neighbors_np`
+    does)."""
+    res, face, i, j, k = hex7_decode_np(cell)
+    return _face_ijk_to_geo(res, face, i, j, k)
+
+
+def hex7_neighbors_np(cell: np.ndarray) -> np.ndarray:
+    """(N,) ids → (N, 6) canonical neighbor ids at the same res.
+
+    The published hex algebra: a cell's 6 neighbors are its absolute
+    IJK plus the 6 unit vectors (H3's CoordIJK UNIT_VECS, digits 1-6).
+    Each neighbor's *center* is mapped back to geo and re-encoded, so
+    cross-face neighbors re-home to their canonical owning face — the
+    from-scratch replacement for H3's base-cell overage tables.
+    """
+    cell = np.asarray(cell, dtype=np.int64)
+    res, face, i, j, k = hex7_decode_np(cell)
+    rset = np.unique(res)
+    if len(rset) != 1:
+        raise ValueError("hex7_neighbors_np: all cells must share one res")
+    r = int(rset[0])
+    out = np.empty((len(cell), 6), dtype=np.int64)
+    for d in range(1, 7):
+        u = _UNIT_IJK[d]
+        ni, nj, nk = _ijk_normalize(i + u[0], j + u[1], k + u[2])
+        lat, lon = _face_ijk_to_geo(res, face, ni, nj, nk)
+        out[:, d - 1] = hex7_id_np(lat, lon, r)
+    return out
+
+
+def hex7_disk_np(cell: np.ndarray, k: int = 1) -> np.ndarray:
+    """(N,) ids → (N, M) ids of the k-disk (cell + rings 1..k), via
+    repeated :func:`hex7_neighbors_np`.  M = 7^k-ish with duplicates
+    (interior disks have 1+3k(k+1) distinct ids; callers dedup —
+    Spark-side via ``array_distinct``, numpy via ``np.unique``)."""
+    cur = np.asarray(cell, dtype=np.int64)[:, None]
+    out = [cur]
+    for _ in range(k):
+        nxt = hex7_neighbors_np(cur.ravel()).reshape(cur.shape[0], -1)
+        out.append(nxt)
+        cur = nxt
+    return np.concatenate(out, axis=1)
+
+
+# axial disk offsets: all (di, dj) with hex distance <= k, memoized
+_DISK_OFFSETS: dict[int, np.ndarray] = {}
+
+
+def _disk_offsets(k: int) -> np.ndarray:
+    offs = _DISK_OFFSETS.get(k)
+    if offs is None:
+        rows = sorted(
+            (
+                (di, dj)
+                for di in range(-k, k + 1)
+                for dj in range(-k, k + 1)
+                if (abs(di) + abs(dj) + abs(di + dj)) // 2 <= k
+            ),
+            key=lambda d: (abs(d[0]) + abs(d[1]) + abs(d[0] + d[1])) // 2,
+        )  # ring order: center first (column 0 of the disk = the cell)
+        offs = _DISK_OFFSETS[k] = np.array(rows, dtype=np.int64)
+    return offs
+
+
+def hex7_local_disk_np(cell: np.ndarray, k: int, res: int | None = None) -> np.ndarray:
+    """(N,) ids → (N, 1+3k(k+1)) k-disk ids in each cell's OWN face
+    lattice — pure integer algebra, no re-encode, no float.
+
+    Unlike :func:`hex7_disk_np` (canonical re-homing), this disk lives
+    entirely in one face's unbroken gnomonic lattice, so the standard
+    hexagonal covering bound holds with no face-edge caveat: the disk
+    region contains every point within k·(√3/2) lattice units of the
+    cell's in-disc.  Pair with source keys from
+    :func:`hex7_local_cells_udf` for a provably complete candidate
+    join near icosahedron edges.
+    """
+    cell = np.asarray(cell, dtype=np.int64)
+    dres, face, i, j, k_ = hex7_decode_np(cell)
+    if res is None:
+        rset = np.unique(dres)
+        if len(rset) != 1:
+            raise ValueError("hex7_local_disk_np: cells must share one res")
+        res = int(rset[0])
+    ai = i - k_
+    aj = j - k_
+    offs = _disk_offsets(k)
+    m = len(offs)
+    n = len(cell)
+    bi = (ai[:, None] + offs[None, :, 0]).ravel()
+    bj = (aj[:, None] + offs[None, :, 1]).ravel()
+    ni, nj, nk = _ijk_normalize(bi, bj, np.zeros_like(bi))
+    packed = _pack_ijk(np.repeat(face, m), ni, nj, nk, res)
+    return packed.reshape(n, m)
+
+
+def hex7_local_disk_udf(res: int, k: int = 1):
+    """Arrow UDF (lat, lon) → array<long>: the k-disk of the point's
+    cell in the point's OWN argmax-face lattice (target side of the
+    face-local kNN join).  Runs inside the scan stage, no shuffle."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _disk(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        base = hex7_id_np(la, lo, res)
+        disks = hex7_local_disk_np(base, k, res=res)
+        return pd.Series(list(disks), index=lat.index)
+
+    return _disk
+
+
+def hex7_local_cells_udf(res: int, margin_rad: float):
+    """Arrow UDF (lat, lon) → array<long>: the point's cell under EVERY
+    face within ``margin_rad`` of its best face (source side of the
+    face-local kNN join).
+
+    Guarantee: a target within arc distance d has its argmax face in
+    this set whenever ``margin_rad >= 2 d``, so the target's face-local
+    disk and one of these keys meet in the same unbroken lattice.  Away
+    from icosahedron edges this emits exactly one cell; in edge bands
+    2-3 — the bounded amplification that replaces H3's base-cell
+    overage tables."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cells(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        mask = hex7_faces_np(la, lo, margin_rad)          # (N, 20)
+        out: list[list[int]] = [[] for _ in range(len(la))]
+        for f in range(20):
+            sel = mask[:, f]
+            if not sel.any():
+                continue
+            ids = hex7_local_id_np(la[sel], lo[sel], res, f)
+            for row, c in zip(np.nonzero(sel)[0], ids):
+                out[row].append(int(c))
+        return pd.Series(out, index=lat.index)
+
+    return _cells
+
+
+# ---------------------------------------------------------------------------
+# polygon polyfill (hex-grain zone cover)
+# ---------------------------------------------------------------------------
+
+def _local_cells_in_bbox(
+    face: int, lat0: float, lat1: float, lon0: float, lon1: float,
+    res: int, pad_cells: float = 1.5,
+) -> np.ndarray:
+    """All face-``face`` lattice cells whose center lies in the padded
+    bbox — exact axial-range enumeration in the face plane (no sampling
+    pitch to get wrong)."""
+    las = np.linspace(lat0, lat1, 9)
+    los = np.linspace(lon0, lon1, 9)
+    gla, glo = np.meshgrid(las, los, indexing="ij")
+    x, y = _geo_to_forced_face_xy(gla.ravel(), glo.ravel(), face)
+    i, j, k = _face_xy_to_ijk(x, y, res)
+    ai, aj = i - k, j - k
+    p = int(np.ceil(pad_cells)) + max(
+        int(ai.max() - ai.min()), int(aj.max() - aj.min())
+    ) // 8 + 2  # corner-grid spacing in cells, plus the pad
+    ais = np.arange(ai.min() - p, ai.max() + p + 1)
+    ajs = np.arange(aj.min() - p, aj.max() + p + 1)
+    bi, bj = np.meshgrid(ais, ajs, indexing="ij")
+    bi, bj = bi.ravel(), bj.ravel()
+    ni, nj, nk = _ijk_normalize(bi, bj, np.zeros_like(bi))
+    ids = _pack_ijk(np.full(len(ni), np.int64(face)), ni, nj, nk, res)
+    cla, clo = hex7_center_np(ids)
+    pad_deg = pad_cells * _SQRT7 ** (-res) * _RES0_U * 60.0  # generous
+    keep = (
+        (cla >= lat0 - pad_deg) & (cla <= lat1 + pad_deg)
+        & (clo >= lon0 - pad_deg) & (clo <= lon1 + pad_deg)
+    )
+    return ids[keep]
+
+
+def hex7_polyfill(rings: list[np.ndarray], res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Classify hex cells against a polygon: (full_ids, boundary_ids).
+
+    The hex twin of :func:`geometry.polygon_cover`, with the same
+    contract — ``full`` cells are provably inside, ``boundary`` cells
+    need the exact per-point PIP, everything else is provably outside —
+    so a membership join built on this cover is EXACT at hex grain.
+
+    Face-edge correctness: a point's canonical token is a cell of its
+    argmax face's lattice, so the cover enumerates EVERY face lattice
+    present near the polygon (``hex7_faces_np`` over the bbox with a
+    2-cell margin) and classifies each face's cells independently; a
+    cell id embeds its face, so cross-face rows are distinct keys and a
+    point still joins at most once per zone.  Classification is
+    conservative: any ring edge within 1.0× the cell's own max
+    neighbor-center distance (≥ 1.7× circumradius) marks it boundary;
+    remaining cells are uniform and one vectorized center PIP decides
+    full/outside.  Runs on the driver; zones are small, output
+    broadcasts (same scale shape as the square cover).
+    """
+    from geodata_spark import geometry
+
+    allv = np.vstack(rings)
+    lat0, lat1 = float(allv[:, 1].min()), float(allv[:, 1].max())
+    lon0, lon1 = float(allv[:, 0].min()), float(allv[:, 0].max())
+    las = np.linspace(lat0, lat1, 9)
+    los = np.linspace(lon0, lon1, 9)
+    gla, glo = np.meshgrid(las, los, indexing="ij")
+    # faces whose lattice a point in the (padded) bbox might use:
+    # 2-cell margin, cell size ~ RES0_U/sqrt7^res radians
+    margin = 2.5 * _RES0_U * _SQRT7 ** (-res)
+    faces = np.nonzero(hex7_faces_np(gla.ravel(), glo.ravel(), margin).any(axis=0))[0]
+
+    fulls, bounds = [], []
+    for f in faces:
+        cand = _local_cells_in_bbox(int(f), lat0, lat1, lon0, lon1, res)
+        if len(cand) == 0:
+            continue
+        clat, clon = hex7_center_np(cand)
+        # per-cell conservative radius: max neighbor-center distance in
+        # degree space (>= sqrt(3)x circumradius; 1.0x of it is safe)
+        nb = hex7_local_disk_np(cand, 1)[:, 1:]
+        rad = np.zeros(len(cand))
+        for d in range(nb.shape[1]):
+            nla, nlo = hex7_center_np(nb[:, d])
+            rad = np.maximum(rad, np.hypot(nla - clat, nlo - clon))
+        near = np.zeros(len(cand), dtype=bool)
+        for ring in rings:
+            closed = np.vstack([np.asarray(ring, dtype=np.float64), ring[:1]])
+            for e in range(len(closed) - 1):
+                (x0, y0), (x1, y1) = closed[e], closed[e + 1]
+                dx, dy = x1 - x0, y1 - y0
+                L2 = dx * dx + dy * dy
+                if L2 == 0.0:
+                    t = np.zeros(len(cand))
+                else:
+                    t = np.clip(((clon - x0) * dx + (clat - y0) * dy) / L2, 0.0, 1.0)
+                d2 = (clon - (x0 + t * dx)) ** 2 + (clat - (y0 + t * dy)) ** 2
+                near |= d2 <= rad * rad
+        inside = geometry.points_in_rings(clon, clat, rings)
+        fulls.append(cand[inside & ~near])
+        bounds.append(cand[near])
+    return np.concatenate(fulls), np.concatenate(bounds)
 
 
 def hex7_parent_np(cell: np.ndarray, res: int, parent_res: int) -> np.ndarray:

@@ -41,6 +41,16 @@ def _with_neighbor_cells(df: DataFrame, res: int, lat_col: str, lon_col: str) ->
     return df.withColumn("_nbr_cell", F.explode(F.array_distinct(cellarr)))
 
 
+def _with_hex_disk(df: DataFrame, res: int, ring: int, lat_col: str, lon_col: str) -> DataFrame:
+    """Hex-grain target candidates: explode the ring-``ring`` disk of
+    the row's cell in its OWN argmax-face lattice (pure integer
+    algebra — hexgrid.hex7_local_disk_np)."""
+    from geodata_spark import hexgrid as HG
+
+    disk = HG.hex7_local_disk_udf(res, ring)(F.col(lat_col), F.col(lon_col))
+    return df.withColumn("_nbr_cell", F.explode(F.array_distinct(disk)))
+
+
 def knn_join(
     targets: DataFrame,
     sources: DataFrame,
@@ -52,6 +62,9 @@ def knn_join(
     s_lon: str = "lon",
     target_key: list[str] | None = None,
     metric: str = "sqeuclidean_deg",
+    grain: str = "grid",
+    hex_ring: int = 2,
+    hex_margin_rad: float = 0.035,
 ) -> DataFrame:
     """k nearest source points per target row.
 
@@ -61,16 +74,37 @@ def knn_join(
     every target column, plus source columns suffixed ``_src``, plus
     ``knn_rank`` (1-based) and ``knn_dist2``.
 
+    ``grain="hex"`` runs the same join on the aperture-7 hexagonal
+    index (the north_star's H3 grain): targets explode their
+    ``hex_ring``-disk in their own face's unbroken lattice, sources
+    emit their cell under every face within ``hex_margin_rad`` of
+    their best face (hexgrid.hex7_local_cells_udf) — the face-local
+    keying that stays provably complete across icosahedron edges,
+    where canonical tokens split cells.  Requirements: disk coverage
+    ``hex_ring·(√3/2)·res-pitch ≥`` max k-th-neighbor distance (×
+    gnomonic distortion ≤1.6), and ``hex_margin_rad ≥ 2×`` that
+    distance in radians.  Source amplification is ~1.1 keys/row
+    (edge bands only); candidate volume stays O(density × disk).
+
     Correct-at-scale shape: both sides shuffle on the neighborhood
     cell id (equi-join), the window partitions by target key — the
-    only O(k) amplification is the 9-cell candidate explode on the
+    only O(k) amplification is the candidate explode on the
     (smaller) target side.
     """
     target_key = target_key or [t_lat, t_lon]
-    t = _with_neighbor_cells(targets, res, t_lat, t_lon)
-    s = sources.withColumn(
-        "_nbr_cell", cells.cell_expr(F.col(s_lat), F.col(s_lon), res)
-    )
+    if grain == "hex":
+        from geodata_spark import hexgrid as HG
+
+        t = _with_hex_disk(targets, res, hex_ring, t_lat, t_lon)
+        skeys = HG.hex7_local_cells_udf(res, hex_margin_rad)(
+            F.col(s_lat), F.col(s_lon)
+        )
+        s = sources.withColumn("_nbr_cell", F.explode(skeys))
+    else:
+        t = _with_neighbor_cells(targets, res, t_lat, t_lon)
+        s = sources.withColumn(
+            "_nbr_cell", cells.cell_expr(F.col(s_lat), F.col(s_lon), res)
+        )
     # rename source cols to avoid collisions
     for c in sources.columns:
         s = s.withColumnRenamed(c, f"{c}_src")

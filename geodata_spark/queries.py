@@ -62,6 +62,32 @@ def q_zonal_daily_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_wavg_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship zonal weighted mean at HEX grain: identical
+    semantics to `zonal_daily_wavg`, but the membership join keys on
+    the aperture-7 hexagonal index (spatial.join_zones grain="hex",
+    cover from hexgrid.hex7_polyfill at res 5).  Shares the flagship's
+    oracle — a green row proves the hex cover + face-local encode
+    reproduce the exact same zone membership the square grid does
+    (the north_star's H3-grain spatial join, end to end)."""
+    docs = corpus(spark, sf_dir)
+    pts = spatial.parse_geo_spans(docs)
+    zoned = spatial.join_zones(pts, spark, ZONES, res=5, grain="hex")
+    weighted = zoned.withColumn("w", zonal.oracle_area_weight_expr(F.col("lat"))).withColumn(
+        "day_idx", (F.col("hour") / F.lit(24)).cast("int")
+    )
+    out = zonal.zonal_weighted_mean(
+        weighted, "val", "w", ["zone_id", "day_idx"], out_col="wavg",
+    )
+    return out.select(
+        "zone_id",
+        "day_idx",
+        "wavg",
+        "weight_sum",
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
 _ZONAL_SQL = f"""
 WITH {_CORPUS_CTE},
 geo AS (SELECT lat, lon, hour, val FROM spansx WHERE kind = 'geo'),
@@ -546,6 +572,33 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _gv(spark).filter(F.col("hour") == 0).select("lat", "lon", "temperature")
     tgts = spark.createDataFrame(_KNN_TGTS, ["lat", "lon"])
     out = knn.knn_join(tgts, src, k=4, res=6)
+    return out.select(
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        F.col("lat_src").alias("s_lat"),
+        F.col("lon_src").alias("s_lon"),
+        "knn_dist2",
+        F.col("temperature_src").alias("s_temperature"),
+    )
+
+
+def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/W2 at HEX grain — the same k=4 nearest-neighbor semantics as
+    `knn_neighbors`, but candidate generation runs on the aperture-7
+    hexagonal index (north_star: H3-grain joins): targets explode a
+    2-ring face-local disk, sources key by face-local cell
+    (hexgrid.hex7_local_disk_udf / hex7_local_cells_udf).  Shares
+    `knn_neighbors`' brute-force oracle, so a green row proves the
+    hex-grain candidate ring contains the true neighbors — the same
+    plan-independence guarantee `events_asof_binned` gives the as-of
+    join.  res 3 / ring 2: disk coverage ≈2.0° ≥ 0.8° max 4-NN
+    distance × 1.6 gnomonic distortion; margin 0.035 rad ≥ 2×0.8°."""
+    from geodata_spark import knn
+
+    src = _gv(spark).filter(F.col("hour") == 0).select("lat", "lon", "temperature")
+    tgts = spark.createDataFrame(_KNN_TGTS, ["lat", "lon"])
+    out = knn.knn_join(tgts, src, k=4, res=3, grain="hex", hex_ring=2)
     return out.select(
         F.col("lat").alias("t_lat"),
         F.col("lon").alias("t_lon"),
@@ -1935,18 +1988,35 @@ FROM documents
 
 
 def q_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-language document-length quantiles (linear
-    interpolation on sorted values — Spark ``percentile`` and DuckDB
-    ``quantile_cont`` share the definition; compared at 6 dp)."""
+    """Per-language document-length quantiles, exact + sketch twin.
+
+    Exact columns (q25..q95): linear interpolation on sorted values —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    definition; compared at 6 dp.  **Scale rule**: exact percentile
+    buffers every value of a group in the JVM agg buffer — fine at
+    test SF, a memory cliff at 100 TB; production uses the a25..a95
+    twin columns from ``approx_percentile`` (Greenwald-Khanna sketch,
+    bounded state, rank error ≤ n/accuracy = n/10000).  The oracle
+    checks BOTH: with group sizes under the sketch's compression
+    threshold GK retains all samples and returns the exact
+    rank-⌈p·n⌉ element, which is DuckDB ``quantile_disc`` — so the
+    sketch path is hash-verified too, not just bounded."""
     docs = _docs(spark, sf_dir)
     qs = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))")
-    agg = docs.groupBy("lang").agg(qs.alias("q"), F.count(F.lit(1)).alias("n_docs"))
+    qa = F.expr("approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)")
+    agg = docs.groupBy("lang").agg(
+        qs.alias("q"), qa.alias("a"), F.count(F.lit(1)).alias("n_docs")
+    )
     return agg.select(
         "lang", "n_docs",
         F.round(F.col("q")[0], 6).alias("q25"),
         F.round(F.col("q")[1], 6).alias("q50"),
         F.round(F.col("q")[2], 6).alias("q75"),
         F.round(F.col("q")[3], 6).alias("q95"),
+        F.col("a")[0].cast("long").alias("a25"),
+        F.col("a")[1].cast("long").alias("a50"),
+        F.col("a")[2].cast("long").alias("a75"),
+        F.col("a")[3].cast("long").alias("a95"),
     )
 
 
@@ -1955,7 +2025,11 @@ SELECT lang, count(*) AS n_docs,
        round(quantile_cont(n_chars, 0.25), 6) AS q25,
        round(quantile_cont(n_chars, 0.5), 6) AS q50,
        round(quantile_cont(n_chars, 0.75), 6) AS q75,
-       round(quantile_cont(n_chars, 0.95), 6) AS q95
+       round(quantile_cont(n_chars, 0.95), 6) AS q95,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS a25,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS a50,
+       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS a75,
+       CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS a95
 FROM documents
 GROUP BY lang
 """
@@ -2342,9 +2416,13 @@ def q_events_asof_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-integrated hexagonal rollup: geo spans → hex7 res-5 cell
     (Arrow UDF inside the scan stage) → count + dyadic sum per cell.
-    No SQL oracle (the encode is numpy math DuckDB cannot run) —
-    rows-only driver check; the encode itself is pinned by the
-    `hex_cells` fixture-literal oracle and tests/test_hexgrid.py."""
+
+    Oracle: the corpus grid is the finite deterministic NY×NX lattice,
+    so the encode is reproducible in SQL by JOINing the 7272-row
+    hex5 dimension fixture (resources/hex5_grid_dim.parquet, generated
+    once by tools/gen_hex_fixture.py from hex7_token_np and
+    content-hash-pinned by tests/test_hexgrid.py — the same trust
+    model as the `hex_cells` 48-token fixture literal)."""
     from geodata_spark import hexgrid as HG
 
     docs = corpus(spark, sf_dir)
@@ -2354,6 +2432,38 @@ def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.sum("val").alias("val_sum"),
     )
+
+
+def _hex_rollup_sql() -> str:
+    """Oracle for `hex_rollup`: the numpy hex encode becomes a JOIN on
+    the pinned (lat_idx, lon_idx) → hex5 dimension fixture.  Grid
+    coords are dyadic (LAT0+DLAT·i / LON0+DLON·j exactly representable
+    and exactly round-tripped through the %.4f media_ref format), so
+    the idx recomputation is exact."""
+    import os
+
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+    fx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "resources", "hex5_grid_dim.parquet"
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+geo AS (SELECT lat, lon, val FROM spansx WHERE kind = 'geo'),
+dim AS (
+  SELECT CAST(lat_idx AS BIGINT) AS lat_idx,
+         CAST(lon_idx AS BIGINT) AS lon_idx, hex5
+  FROM read_parquet('{fx}')
+)
+SELECT d.hex5,
+       count(*) AS n_points,
+       sum(g.val) AS val_sum
+FROM geo g
+JOIN dim d
+  ON d.lat_idx = CAST(round((g.lat - {LAT0!r}) / {DLAT!r}) AS BIGINT)
+ AND d.lon_idx = CAST(round((g.lon - {LON0!r}) / {DLON!r}) AS BIGINT)
+GROUP BY d.hex5
+"""
 
 
 def q_mask_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2664,13 +2774,18 @@ QUERIES = {
     "hex_cells": q_hex_cells,
     "events_asof_binned": q_events_asof_binned,
     "hex_rollup": q_hex_rollup,
+    "hex_knn": q_hex_knn,
+    "zonal_wavg_hex": q_zonal_wavg_hex,
     "mask_contours": q_mask_contours,
+    # in-window because round 6 touched them: dedup_clusters gained the
+    # two-phase star contraction, tfidf_top_terms had no driver row yet
+    "dedup_clusters": q_dedup_clusters,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
+    # --- driver's 50-row window (history locked) -------------------
     "gapfill_linear": q_gapfill_linear,
     "stratified_sample": q_stratified_sample,
     "interval_join": q_interval_join,
-    "dedup_clusters": q_dedup_clusters,
-    # --- tail: green in CORRECTNESS_r01-r04, rotated out of the
-    # --- driver's 50-row window in round 5 (history locked) --------
     "heat_demand": q_heat_demand,
     "windwpd_cellsum": q_windwpd_cellsum,
     "wind_power_curve": q_wind_power,
@@ -2694,7 +2809,6 @@ QUERIES = {
     "events_topk": q_events_topk,
     "events_sessions": q_events_sessions,
     "zonal_grouping_sets": q_zonal_grouping_sets,
-    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -2770,8 +2884,17 @@ ORACLES = {
     "events_asof": _EVENTS_ASOF_SQL,
     # fixture-literal oracle: deterministic points -> pinned tokens
     "hex_cells": _HEX_CELLS_SQL,
+    # hex-grain kNN vs the SAME brute-force oracle as knn_neighbors:
+    # proves the face-local hex disk contains the true neighbors
+    "hex_knn": _KNN_SQL,
+    # hex-grain flagship vs the SAME oracle as zonal_daily_wavg:
+    # proves hex polyfill membership == square-grid membership == PIP
+    "zonal_wavg_hex": _ZONAL_SQL,
     # the binned as-of MUST reproduce the same native-ASOF oracle rows
     "events_asof_binned": _EVENTS_ASOF_SQL,
+    # numpy hex encode reproduced in SQL via the content-hash-pinned
+    # 7272-row grid->token dimension fixture (gen_hex_fixture.py)
+    "hex_rollup": _hex_rollup_sql(),
     "mask_contours": _mask_contours_sql(),
     "gapfill_linear": _GAPFILL_SQL.format(gv_cte=_GV_CTE),
     "stratified_sample": _stratified_sample_sql(),
@@ -2780,6 +2903,4 @@ ORACLES = {
     # iterative hash-min fixpoint vs recursive-CTE transitive closure
     "dedup_clusters": _dedup_clusters_sql(),
     "tfidf_top_terms": TX.tfidf_top_terms_sql(top_k=3),
-    # hex_rollup: intentionally NO oracle entry (numpy encode is not
-    # SQL-expressible) -> driver records the weaker rows-only check
 }

@@ -98,11 +98,13 @@ def parse_geo_spans(docs: DataFrame, kinds: tuple[str, ...] = ("geo",)) -> DataF
 _COVER_CACHE: dict[tuple, list] = {}
 
 
-def _cover_rows(zones: dict[str, list[np.ndarray]], res: int) -> list:
+def _cover_rows(zones: dict[str, list[np.ndarray]], res: int, grain: str = "grid") -> list:
     """Memoized cover planning: the cover of a zone set at a resolution
     is a deterministic plan artifact (like a prepared statement) —
     real deployments build it once per zone catalog and reuse it across
-    every query, so repeated plan builds must not re-run the planner."""
+    every query, so repeated plan builds must not re-run the planner.
+    ``grain="hex"`` plans the cover on the aperture-7 hexagonal index
+    (hexgrid.hex7_polyfill — same full/boundary contract)."""
     import hashlib
 
     h = hashlib.sha256()
@@ -110,12 +112,18 @@ def _cover_rows(zones: dict[str, list[np.ndarray]], res: int) -> list:
         h.update(zid.encode())
         for ring in zones[zid]:
             h.update(np.ascontiguousarray(ring, dtype=np.float64).tobytes())
-    key = (h.hexdigest(), res)
+    key = (h.hexdigest(), res, grain)
     rows = _COVER_CACHE.get(key)
     if rows is None:
+        if grain == "hex":
+            from geodata_spark import hexgrid as HG
+
+            cover_fn = lambda rings: HG.hex7_polyfill(rings, res)  # noqa: E731
+        else:
+            cover_fn = lambda rings: geometry.polygon_cover(rings, res)  # noqa: E731
         rows = []
         for zid, rings in zones.items():
-            full, boundary = geometry.polygon_cover(rings, res)
+            full, boundary = cover_fn(rings)
             rows.extend((zid, int(c), False) for c in full)
             rows.extend((zid, int(c), True) for c in boundary)
         _COVER_CACHE[key] = rows
@@ -126,26 +134,29 @@ def zone_cover_df(
     spark: SparkSession,
     zones: dict[str, list[np.ndarray]] | None = None,
     res: int = 9,
+    grain: str = "grid",
 ) -> DataFrame:
     """(zone_id, cell_r{res}, boundary) cover table, built on the driver.
 
     Zones are small; the output is meant to sit on the broadcast side
     of the membership join.  ``boundary=false`` rows prove membership
     by cell containment alone; ``boundary=true`` rows require the exact
-    PIP test.
+    PIP test.  ``grain="hex"`` emits ``cell_hex{res}`` hexagonal cells
+    (hexgrid.hex7_polyfill) with the identical contract.
     """
     zones = zones or ZONES
-    rows = _cover_rows(zones, res)
+    rows = _cover_rows(zones, res, grain)
+    cell_col = f"cell_hex{res}" if grain == "hex" else f"cell_r{res}"
     schema = T.StructType(
         [
             T.StructField("zone_id", T.StringType(), False),
-            T.StructField(f"cell_r{res}", T.LongType(), False),
+            T.StructField(cell_col, T.LongType(), False),
             T.StructField("boundary", T.BooleanType(), False),
         ]
     )
     # Arrow path: a cover can be O(10^4) rows; per-tuple Python
     # serialization in createDataFrame dominated plan-build latency
-    pdf = pd.DataFrame(rows, columns=["zone_id", f"cell_r{res}", "boundary"])
+    pdf = pd.DataFrame(rows, columns=["zone_id", cell_col, "boundary"])
     return spark.createDataFrame(pdf, schema)
 
 
@@ -250,6 +261,7 @@ def join_zones(
     lat_col: str = "lat",
     lon_col: str = "lon",
     strategy: str = "auto",
+    grain: str = "grid",
 ) -> DataFrame:
     """Attach ``zone_id`` to every point row (inner join semantics).
 
@@ -267,13 +279,28 @@ def join_zones(
         sliver, which alone crosses into Python.  Costs a second scan
         of the input (two union branches) — prefer ``expr`` whenever
         the polygon budget allows.
+
+    ``grain="hex"`` keys the membership join on the aperture-7
+    hexagonal index instead of the square grid: identical output rows
+    (the cover's full/boundary contract is grain-independent — full
+    cells prove membership, boundary cells fall through to the same
+    exact PIP), different physical key.  The point-side encode is one
+    Arrow UDF in the scan stage; the cover still broadcasts.
     """
     zones = zones or ZONES
     if strategy == "auto":
         strategy = "expr" if _total_vertices(zones) <= 2048 else "udf"
-    cell_col = f"cell_r{res}"
-    cover = zone_cover_df(spark, zones, res)
-    pts = points.withColumn(cell_col, cells.cell_expr(F.col(lat_col), F.col(lon_col), res))
+    cover = zone_cover_df(spark, zones, res, grain=grain)
+    if grain == "hex":
+        from geodata_spark import hexgrid as HG
+
+        cell_col = f"cell_hex{res}"
+        pts = points.withColumn(
+            cell_col, HG.hex7_id_udf(res)(F.col(lat_col), F.col(lon_col))
+        )
+    else:
+        cell_col = f"cell_r{res}"
+        pts = points.withColumn(cell_col, cells.cell_expr(F.col(lat_col), F.col(lon_col), res))
     joined = pts.join(F.broadcast(cover), cell_col)
 
     if strategy == "expr":

@@ -153,3 +153,170 @@ def test_canonical_h3_gate():
         return
     fn = getattr(h3, "latlng_to_cell", None) or getattr(h3, "geo_to_h3")
     assert fn(37.3615593, -122.0553238, 5) == "85283473fffffff"
+
+
+# ---------------------------------------------------------------------------
+# round 6: decode / neighbor algebra / face-local keys / polyfill
+# ---------------------------------------------------------------------------
+
+def test_decode_center_roundtrip():
+    """encode → decode → center → re-encode is the identity for
+    face-interior cells (the documented exception: edge-split cells,
+    whose centers canonically re-home — bounded below)."""
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-85, 85, 4000)
+    lon = rng.uniform(-180, 180, 4000)
+    for res in (3, 5, 7):
+        ids = H.hex7_id_np(lat, lon, res)
+        cla, clo = H.hex7_center_np(ids)
+        agree = np.mean(H.hex7_id_np(cla, clo, res) == ids)
+        # the non-identity residue is the edge-split band, whose width
+        # scales with cell size: coarser res → larger fraction
+        floor = {3: 0.98, 5: 0.995, 7: 0.999}[res]
+        assert agree >= floor, f"res {res}: round-trip agreement {agree}"
+
+
+def test_decode_inverts_pack():
+    """decode(pack(ijk)) reproduces the absolute IJK (modulo the
+    (1,1,1) null direction — compared in axial coords)."""
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-60, 60, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    for res in (4, 5):
+        face, x, y = H._geo_to_face_xy(lat, lon)
+        i, j, k = H._face_xy_to_ijk(x, y, res)
+        ids = H._pack_ijk(face, i, j, k, res)
+        dres, dface, di, dj, dk = H.hex7_decode_np(ids)
+        assert np.all(dres == res) and np.all(dface == face)
+        assert np.all((di - dk) == (i - k)) and np.all((dj - dk) == (j - k))
+
+
+def test_neighbors_symmetric_and_distinct():
+    c = H.hex7_id_np(np.array([30.0]), np.array([100.0]), 5)
+    nb = H.hex7_neighbors_np(c)
+    assert len(np.unique(nb)) == 6 and not np.any(nb == c[0])
+    for d in range(6):
+        back = H.hex7_neighbors_np(nb[0, d:d + 1]).ravel()
+        assert c[0] in set(back.tolist())
+
+
+def test_local_disk_sizes_and_membership():
+    """Interior k-disks have exactly 1+3k(k+1) distinct cells and
+    contain the center cell; all cells share the origin's face."""
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(20, 50, 200)
+    lon = rng.uniform(75, 135, 200)
+    base = H.hex7_id_np(lat, lon, 5)
+    for k in (1, 2, 3):
+        disks = H.hex7_local_disk_np(base, k, res=5)
+        assert disks.shape == (200, 1 + 3 * k * (k + 1))
+        assert np.all(disks[:, 0] == base)
+        faces = (disks >> np.int64(52)) & np.int64(0x1F)
+        assert np.all(faces == faces[:, :1])
+        for row in disks[:20]:
+            assert len(np.unique(row)) == len(row)
+
+
+def test_local_id_matches_canonical_on_argmax_face():
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-80, 80, 3000)
+    lon = rng.uniform(-180, 180, 3000)
+    ids = H.hex7_id_np(lat, lon, 4)
+    face = (ids >> np.int64(52)) & np.int64(0x1F)
+    for f in np.unique(face):
+        sel = face == f
+        assert np.all(H.hex7_local_id_np(lat[sel], lon[sel], 4, int(f)) == ids[sel])
+
+
+def test_faces_mask_includes_argmax_and_margin_monotone():
+    rng = np.random.default_rng(9)
+    lat = rng.uniform(-80, 80, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    ids = H.hex7_id_np(lat, lon, 3)
+    argmax_face = ((ids >> np.int64(52)) & np.int64(0x1F)).astype(int)
+    m0 = H.hex7_faces_np(lat, lon, 0.0)
+    m1 = H.hex7_faces_np(lat, lon, 0.05)
+    assert np.all(m0[np.arange(len(lat)), argmax_face])
+    assert np.all(m1 >= m0)  # growing the margin never drops a face
+    # away from edges most points see exactly one face
+    assert np.mean(m1.sum(axis=1) == 1) > 0.5
+
+
+def test_hex_knn_candidate_completeness():
+    """The face-local disk join (res 3, ring 2, margin 0.035) contains
+    the true 4 nearest lattice sources for every lattice-point target —
+    the containment proof behind the `hex_knn` driver row."""
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0, NX, NY
+
+    la = LAT0 + DLAT * np.arange(NY)
+    lo = LON0 + DLON * np.arange(NX)
+    gla, glo = np.meshgrid(la, lo, indexing="ij")
+    gla, glo = gla.ravel(), glo.ravel()
+    rng = np.random.default_rng(99)
+    tla = np.concatenate([rng.uniform(la[0], la[-1], 500), gla[::13]])
+    tlo = np.concatenate([rng.uniform(lo[0], lo[-1], 500), glo[::13]])
+
+    mask = H.hex7_faces_np(gla, glo, 0.035)
+    src_keys = [set() for _ in range(len(gla))]
+    for f in range(20):
+        sel = mask[:, f]
+        if not sel.any():
+            continue
+        ids = H.hex7_local_id_np(gla[sel], glo[sel], 3, f)
+        for row, c in zip(np.nonzero(sel)[0], ids):
+            src_keys[row].add(int(c))
+    disks = H.hex7_local_disk_np(H.hex7_id_np(tla, tlo, 3), 2, res=3)
+    for t in range(len(tla)):
+        d2 = (gla - tla[t]) ** 2 + (glo - tlo[t]) ** 2
+        near = np.argpartition(d2, 4)[:4]
+        dset = set(disks[t].tolist())
+        assert all(src_keys[n] & dset for n in near)
+
+
+def test_polyfill_membership_exact():
+    """Cover-based membership (full → in, boundary → exact PIP, absent
+    → out) equals direct PIP for every sampled point — the exactness
+    contract behind hex-grain join_zones."""
+    from geodata_spark import geometry
+    from geodata_spark.spatial import ZONES
+
+    rng = np.random.default_rng(5)
+    for zid, rings in ZONES.items():
+        full, bound = H.hex7_polyfill(rings, 5)
+        fset, bset = set(full.tolist()), set(bound.tolist())
+        assert not (fset & bset)
+        allv = np.vstack(rings)
+        pla = rng.uniform(allv[:, 1].min() - 1, allv[:, 1].max() + 1, 4000)
+        plo = rng.uniform(allv[:, 0].min() - 1, allv[:, 0].max() + 1, 4000)
+        truth = geometry.points_in_rings(plo, pla, rings)
+        cells_ = H.hex7_id_np(pla, plo, 5)
+        for n in range(len(pla)):
+            c = int(cells_[n])
+            via = (c in fset) or ((c in bset) and bool(truth[n]))
+            assert via == bool(truth[n]), (zid, pla[n], plo[n])
+
+
+HEX5_GRID_DIM_MD5 = "419c16addd9c1148475c0c16fe6c3690"
+
+
+def test_hex5_grid_dim_fixture_pinned():
+    """The hex_rollup oracle's dimension fixture re-derives from
+    hex7_token_np exactly, and its content hash is pinned here — the
+    same trust model as the `hex_cells` 48-token fixture literal (a
+    stale or tampered parquet fails this test)."""
+    import sys
+    from pathlib import Path
+
+    import pandas as pd
+
+    repo = Path(__file__).resolve().parents[1]
+    fx = repo / "geodata_spark" / "resources" / "hex5_grid_dim.parquet"
+    df = pd.read_parquet(fx)
+    sys.path.insert(0, str(repo / "tools"))
+    import gen_hex_fixture as G
+
+    fresh = G.build_frame()
+    merged = df.sort_values(["lat_idx", "lon_idx"]).reset_index(drop=True)
+    fresh = fresh.sort_values(["lat_idx", "lon_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, fresh)
+    assert G.content_hash(df) == HEX5_GRID_DIM_MD5

@@ -22,13 +22,14 @@ from geodata_spark.queries import ORACLES, QUERIES
 DRIVER_WINDOW = 50
 REPO = Path(__file__).resolve().parents[1]
 
-ROTATED_IN_R5 = {
-    "decontamination", "pii_redact", "doc_quantiles",
-    "sql_zonal_daily_wavg", "sql_tpch_pricing", "sql_text_stats",
-    "sql_events_topk", "sql_grid_reduce",
-    "media_dedup", "media_text_match",
-    "plot_timeseries", "plot_heatmap",
-    "events_topk_twophase", "cell_cumsum_twophase", "events_asof",
+# round 6 (VERDICT r5 "Next round" #1/#2): queries that MUST be inside
+# the driver window this round — new (hex_knn, zonal_wavg_hex), newly
+# oracle-paired (hex_rollup), never driver-swept (tfidf_top_terms), or
+# re-implemented this round (dedup_clusters star contraction,
+# doc_quantiles approx twin)
+ROTATED_IN_R6 = {
+    "hex_rollup", "hex_knn", "zonal_wavg_hex",
+    "tfidf_top_terms", "dedup_clusters", "doc_quantiles",
 }
 
 
@@ -49,9 +50,9 @@ def test_unswept_keys_are_documented():
     )
 
 
-def test_round5_rotation_inside_window():
+def test_round6_rotation_inside_window():
     window = set(list(QUERIES)[:DRIVER_WINDOW])
-    out = ROTATED_IN_R5 - window
+    out = ROTATED_IN_R6 - window
     assert not out, f"rotated-in queries fell back out of the window: {sorted(out)}"
 
 
@@ -61,9 +62,9 @@ def test_documented_pending_keys_exist():
 
 
 # Queries with intentionally NO SQL oracle (non-SQL-expressible; the
-# driver records the weaker rows-only check).  Keep this list short and
-# every entry justified in the query docstring.
-ROWS_ONLY = {"hex_rollup"}
+# driver records the weaker rows-only check).  Empty since round 6:
+# hex_rollup gained the hash-pinned hex5 dimension-fixture oracle.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_is_oracle_paired():
