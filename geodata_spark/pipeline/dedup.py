@@ -485,24 +485,40 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    method: str = "star",
 ) -> DataFrame:
     """Connected components of an undirected pair list → (node, component).
 
-    Hash-min label propagation: every node starts as its own label and
-    repeatedly adopts the minimum label among itself and its
-    neighbours; at the fixpoint each component is labelled by its
-    smallest member.  This is the TRANSITIVE step of near-dedup (A~B,
-    B~C ⇒ {A,B,C} one cluster) that the pairwise MinHash/SimHash
-    outputs deliberately leave to the caller.
+    This is the TRANSITIVE step of near-dedup (A~B, B~C ⇒ {A,B,C} one
+    cluster) that the pairwise MinHash/SimHash outputs deliberately
+    leave to the caller; each component is labelled by its smallest
+    member.
 
-    Scale shape: one equi-join + min-aggregate per iteration, and the
-    iteration count is the graph DIAMETER — near-dup graphs are tiny
-    cliques/chains, so a handful of rounds; each round
+    ``method="star"`` (default): alternating large-star / small-star
+    contraction — the published MapReduce CC algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    Round count is O(log² n) worst-case and ~log₂(diameter) in
+    practice (a 1000-node path converges in ~6 alternations; pinned by
+    tests/test_pipeline.py), so pathological chain graphs cannot blow
+    the round budget the way diameter-bound propagation can.
+
+    ``method="hashmin"``: the round-5 hash-min label propagation —
+    every node repeatedly adopts the minimum label among itself and
+    its neighbours; rounds = graph DIAMETER.  Kept because its
+    per-round cost is lower (one join) on the tiny-clique graphs
+    near-dedup actually produces.
+
+    Scale shape (both): one-or-two equi-join + min-aggregate rounds,
+    nothing ever holds a component in memory; each round
     localCheckpoints to keep the plan from growing (the same
     iterative-convergence discipline as masks.filter_area).  Raises
     after ``max_iter`` rounds rather than returning a half-converged
     labelling.
     """
+    if method == "star":
+        return _cc_star(pairs, id_a, id_b, max_iter)
+    if method != "hashmin":
+        raise ValueError(f"unknown method {method!r}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -545,3 +561,112 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds the bound — raise max_iter)"
     )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both orientations of an undirected (u, v) edge list."""
+    return edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _cc_star(pairs: DataFrame, id_a: str, id_b: str, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris SoCC'14).
+
+    large-star: every node links its strictly-larger neighbours to the
+    minimum of its closed neighbourhood; small-star: links itself and
+    its smaller neighbours to that minimum.  Alternating the two
+    drives every component to a star centred on its smallest node in
+    O(log² n) rounds regardless of diameter.  Convergence = the
+    canonical (min, max) edge set is unchanged (count + order-free
+    xxhash checksum — deterministic, no full subtract join).
+    """
+    # materialize ONCE: `pairs` is usually an expensive unexecuted plan
+    # (the MinHash/LSH band join); nodes derive from the checkpoint
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-free and overflow-free under ANSI mode
+            # (edges are distinct, so xor cannot self-cancel a dup)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            F.expr("sum(cast(xxhash64(v, u) as decimal(38, 0)))").alias("h2"),
+        ).first()
+        return (row["n"], row["h"], row["h2"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        s = _sym(e)
+        mm = (
+            s.groupBy("u").agg(F.min("v").alias("_minv"))
+            .select("u", F.least(F.col("_minv"), F.col("u")).alias("m"))
+        )
+        out = (
+            s.filter(F.col("v") > F.col("u"))
+            .join(mm, "u")
+            .select(
+                F.least(F.col("v"), F.col("m")).alias("u"),
+                F.greatest(F.col("v"), F.col("m")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        s = _sym(e).filter(F.col("v") < F.col("u"))
+        mm = s.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            s.join(mm, "u")
+            .select(F.col("v").alias("n"), "m")
+            .unionByName(mm.select(F.col("u").alias("n"), "m"))
+        )
+        return (
+            linked.select(
+                F.least(F.col("n"), F.col("m")).alias("u"),
+                F.greatest(F.col("n"), F.col("m")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = _checksum(edges)
+    rounds_used = 0
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds_used += 1
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} "
+            "alternations — raise max_iter"
+        )
+
+    # at the fixpoint every edge is (root, member); isolated inputs
+    # (pairs whose two ids were equal) label themselves
+    labels = _sym(edges).filter(F.col("v") > F.col("u")).groupBy("v").agg(
+        F.min("u").alias("component")
+    ).select(F.col("v").alias("node"), "component")
+    out = (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+    out._cc_rounds = rounds_used  # introspection for the convergence test
+    return out

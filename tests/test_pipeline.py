@@ -488,15 +488,53 @@ def test_connected_components_semantics(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
-    # a 12-node path needs ~11 propagation rounds; max_iter=2 must
-    # refuse to return a half-converged labelling
+    # a 12-node path needs ~11 hash-min propagation rounds; max_iter=2
+    # must refuse to return a half-converged labelling
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path, max_iter=2)
+        connected_components(path, max_iter=2, method="hashmin")
     full = connected_components(path)
     assert {r["component"] for r in full.collect()} == {100}
+
+
+def test_cc_star_logarithmic_on_path(spark):
+    """The star contraction converges on a 1000-node path in
+    <= 2*log2(n) alternations (diameter-bound propagation would need
+    ~999 rounds) — the O(log n) guarantee for pathological chains."""
+    import math
+
+    from geodata_spark.pipeline.dedup import connected_components
+
+    n = 1000
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components(path, max_iter=25, method="star")
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+    assert out._cc_rounds <= 2 * math.log2(n), out._cc_rounds
+
+
+def test_cc_star_equals_hashmin_random(spark):
+    """Both CC methods produce the identical labelling on a random
+    graph (150 nodes, 120 edges, mixed components)."""
+    import numpy as np
+
+    from geodata_spark.pipeline.dedup import connected_components
+
+    rng = np.random.default_rng(17)
+    e = rng.integers(0, 150, size=(120, 2))
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in e if a != b], "id_a long, id_b long"
+    )
+    star = {r["node"]: r["component"]
+            for r in connected_components(pairs, method="star").collect()}
+    hm = {r["node"]: r["component"]
+          for r in connected_components(pairs, method="hashmin", max_iter=50).collect()}
+    assert star == hm
 
 
 def test_tfidf_top_terms_semantics(spark):

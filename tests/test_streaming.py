@@ -171,3 +171,56 @@ def test_streaming_dedup_bloom_state_bounded(spark, tmp_path):
     )
     ids = sorted(int(r.doc_id) for r in got)
     assert ids == list(range(100, 130))  # 30 distinct, dupes suppressed, min ids win
+
+
+def test_streaming_checkpoint_kill_resume_exactly_once(spark, tmp_path):
+    """Durability across restart (r5 advice #7): a checkpointed file-
+    source → file-sink query is killed at an arbitrary point, more
+    input arrives, and a NEW query object resuming from the SAME
+    checkpoint must deliver exactly-once output — the full batch
+    ground truth, no duplicates from re-processing, no gaps.  The
+    streaming analog of lineage.py's kill/resume test: source progress
+    lives in the checkpoint WAL, sink atomicity in _spark_metadata."""
+    import time
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def q_start():
+        stream = ST.read_documents_stream(spark, src, max_files_per_trigger=1)
+        parsed = (
+            ST.spatial.parse_geo_spans(stream)
+            .select("doc_id", "span_idx", "lat", "lon", "hour", "val")
+        )
+        return (
+            parsed.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # batch A: 6 input files
+    synth_documents(spark, 1200).repartition(6).write.mode("append").parquet(src)
+    q = q_start()
+    time.sleep(3)      # arbitrary kill point: some triggers done, maybe mid-flight
+    q.stop()
+
+    # batch B arrives while the query is down
+    synth_documents(spark, 1200).selectExpr(
+        "concat('b_', doc_id) AS doc_id", "spans"
+    ).repartition(6).write.mode("append").parquet(src)
+
+    q2 = q_start()     # resume from the SAME checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(out)          # reads via _spark_metadata log
+    want = (
+        ST.spatial.parse_geo_spans(spark.read.parquet(src))
+        .select("doc_id", "span_idx", "lat", "lon", "hour", "val")
+    )
+    assert got.count() == want.count()      # no dupes, no gaps
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
