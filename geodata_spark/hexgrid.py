@@ -688,7 +688,16 @@ def hex7_parent_np(cell: np.ndarray, res: int, parent_res: int) -> np.ndarray:
 
 def hex7_id_udf(res: int):
     """Arrow-vectorized pandas UDF: (lat, lon) → hex7 id (LONG —
-    prefer over the string token for joins/rollups)."""
+    prefer over the string token for joins/rollups).
+
+    The value is deterministic; the UDF is *flagged* non-deterministic
+    so Catalyst cannot substitute the expression when pushing inferred
+    join-key filters (``isnotnull(cell_hex…)``) below the defining
+    Project — that substitution materializes a SECOND ArrowEvalPython
+    stage and doubles the Python encode cost per row.  The flag keeps
+    the encode a single Arrow stage; the null filter evaluates against
+    the already-computed attribute above it.
+    """
 
     @F.pandas_udf(T.LongType())
     def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
@@ -697,7 +706,7 @@ def hex7_id_udf(res: int):
             index=lat.index,
         )
 
-    return _enc
+    return _enc.asNondeterministic()
 
 
 def hex7_token_udf(res: int):

@@ -501,3 +501,41 @@ def test_gapfill_single_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_hex_knn_plan_ring_equi_join(spark):
+    """Hex-grain kNN is a ring EQUI-join on the face-local cell id:
+    no cartesian/nested-loop, a hash or sort-merge join on _nbr_cell,
+    and the two Arrow UDF stages (disk explode / face-local cells)
+    present — plan pin for the `hex_knn` driver row."""
+    from geodata_spark import knn
+    from geodata_spark.synth import synth_grid_vars
+
+    src = synth_grid_vars(spark, 1, 8, 8, variables=("temperature",)).select(
+        "lat", "lon", "temperature"
+    )
+    tgts = spark.createDataFrame([(20.0, 74.0), (21.0, 75.0)], ["lat", "lon"])
+    out = knn.knn_join(tgts, src, k=2, res=3, grain="hex")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert (
+        "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+    assert plan.count("ArrowEvalPython") >= 2  # disk UDF + face-cells UDF
+
+
+def test_hex_zone_join_broadcasts_cover(spark):
+    """Hex-grain zone membership keeps the flagship's physical shape:
+    broadcast cover join + codegen PIP (single Python stage = the
+    encode UDF, nothing else)."""
+    from geodata_spark import spatial
+    from geodata_spark.synth import synth_documents
+
+    docs = synth_documents(spark, 200)
+    pts = spatial.parse_geo_spans(docs)
+    out = spatial.join_zones(pts, spark, res=5, grain="hex", strategy="expr")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, "hex zone cover must broadcast"
+    assert "CartesianProduct" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # the hex encode only
