@@ -686,6 +686,33 @@ def hex7_parent_np(cell: np.ndarray, res: int, parent_res: int) -> np.ndarray:
     return out
 
 
+def hex7_parent_expr(cell, parent_res: int):
+    """Catalyst twin of :func:`hex7_parent_np`: fine id → ancestor id.
+
+    Pure JVM bit arithmetic (clear the res nibble, stamp the parent
+    res, OR the trailing digits to 7), so hierarchical rollups pay the
+    Arrow encode ONCE at the finest grain and derive every coarser
+    level inside whole-stage codegen.  Truncation is transitive
+    (truncate(truncate(id, r), r') == truncate(id, r')), which is what
+    lets a rollup cascade re-aggregate level r' from the level-r
+    aggregate instead of the fact table.  Numpy-twinned in
+    tests/test_hexgrid.py.
+    """
+    if not 0 <= parent_res <= 15:
+        raise ValueError(f"parent_res must be 0..15, got {parent_res}")
+    sevens = 0
+    for rr in range(parent_res + 1, 16):
+        sevens |= 7 << (45 - 3 * rr)
+    cleared = cell.bitwiseAND(F.lit(~(0xF << 57)))
+    return cleared.bitwiseOR(F.lit((parent_res << 57) | sevens))
+
+
+def hex7_token_expr(cell):
+    """Catalyst twin of the token render in :func:`hex7_token_np`:
+    id (LONG) → 16-char lowercase hex token, JVM-side."""
+    return F.lpad(F.lower(F.hex(cell)), 16, "0")
+
+
 def hex7_id_udf(res: int):
     """Arrow-vectorized pandas UDF: (lat, lon) → hex7 id (LONG —
     prefer over the string token for joins/rollups).

@@ -2466,6 +2466,94 @@ GROUP BY d.hex5
 """
 
 
+def q_hex_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) hexagonal rollup, res 5→4→3.
+
+    Scale shape: the Arrow hex encode runs ONCE at the finest grain
+    inside the scan stage, and the res-5 aggregate is the only shuffle
+    of fact-table cardinality.  The coarser levels come from exploding
+    the three (res, token) keys per row of the res-5 AGGREGATE
+    (thousands of rows, not millions) — parent ids via the
+    pure-Catalyst digit truncation (hexgrid.hex7_parent_expr) — then
+    ONE tiny re-aggregation.  Compare the two rejected shapes: a
+    GROUPING SETS Expand multiplies the FACT table 3× before its
+    shuffle, and a union of per-level cascades recomputes the fact
+    scan per level (Spark does not share subplans across union
+    branches).  Plan-pinned: 1 ArrowEvalPython, 2 Exchanges, 1 scan.
+    Dyadic ``val`` keeps every level's sum order-independent and
+    bit-exact vs the oracle.
+
+    Reference analog: cutout.py:340-344 discretization + the coarsen
+    chain (J4), lifted to a multi-level hierarchy.
+    """
+    from geodata_spark import hexgrid as HG
+
+    docs = corpus(spark, sf_dir)
+    pts = spatial.parse_geo_spans(docs)
+    enc = pts.withColumn("id5", HG.hex7_id_udf(5)(F.col("lat"), F.col("lon")))
+    agg5 = enc.groupBy("id5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("val").alias("val_sum"),
+    )
+    id5 = F.col("id5")
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("res"),
+                HG.hex7_token_expr(
+                    id5 if r == 5 else HG.hex7_parent_expr(id5, r)
+                ).alias("hexcell"),
+            )
+            for r in (5, 4, 3)
+        ]
+    )
+    return (
+        agg5.select(F.explode(levels).alias("lv"), "n_points", "val_sum")
+        .groupBy(F.col("lv.res").alias("res"), F.col("lv.hexcell").alias("hexcell"))
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("val_sum").alias("val_sum"),
+        )
+    )
+
+
+def _hex_rollup_multi_sql() -> str:
+    """Oracle for `hex_rollup_multi`: the fixture dimension carries all
+    three grains (hex4/hex3 generated by encode-fine-then-truncate in
+    numpy, content-hash-pinned), so each level is a direct GROUP BY on
+    the joined facts — independent of the engine's cascade plan, which
+    is exactly what makes the cascade's transitivity checkable."""
+    import os
+
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+    fx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "resources", "hex5_grid_dim.parquet"
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+geo AS (SELECT lat, lon, val FROM spansx WHERE kind = 'geo'),
+dim AS (
+  SELECT CAST(lat_idx AS BIGINT) AS lat_idx,
+         CAST(lon_idx AS BIGINT) AS lon_idx, hex5, hex4, hex3
+  FROM read_parquet('{fx}')
+),
+j AS (
+  SELECT d.hex5, d.hex4, d.hex3, g.val
+  FROM geo g
+  JOIN dim d
+    ON d.lat_idx = CAST(round((g.lat - {LAT0!r}) / {DLAT!r}) AS BIGINT)
+   AND d.lon_idx = CAST(round((g.lon - {LON0!r}) / {DLON!r}) AS BIGINT)
+)
+SELECT CAST(5 AS INTEGER) AS res, hex5 AS hexcell,
+       count(*) AS n_points, sum(val) AS val_sum FROM j GROUP BY hex5
+UNION ALL
+SELECT CAST(4 AS INTEGER), hex4, count(*), sum(val) FROM j GROUP BY hex4
+UNION ALL
+SELECT CAST(3 AS INTEGER), hex3, count(*), sum(val) FROM j GROUP BY hex3
+"""
+
+
 def q_mask_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→VECTOR boundary extraction: binarize the elevation layer
     (< 3000, the reference's suitability bound) and emit the exposed
@@ -2743,7 +2831,6 @@ QUERIES = {
     "tpch_pricing_summary": q_tpch_pricing,
     "tpch_revenue_nation": q_tpch_revenue_nation,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
-    "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "tpch_cust_order_stats": q_tpch_cust_order_stats,
     "model_fit_loglinear": q_model_fit,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2774,6 +2861,7 @@ QUERIES = {
     "hex_cells": q_hex_cells,
     "events_asof_binned": q_events_asof_binned,
     "hex_rollup": q_hex_rollup,
+    "hex_rollup_multi": q_hex_rollup_multi,
     "hex_knn": q_hex_knn,
     "zonal_wavg_hex": q_zonal_wavg_hex,
     "mask_contours": q_mask_contours,
@@ -2783,6 +2871,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "gapfill_linear": q_gapfill_linear,
     "stratified_sample": q_stratified_sample,
     "interval_join": q_interval_join,
@@ -2895,6 +2984,7 @@ ORACLES = {
     # numpy hex encode reproduced in SQL via the content-hash-pinned
     # 7272-row grid->token dimension fixture (gen_hex_fixture.py)
     "hex_rollup": _hex_rollup_sql(),
+    "hex_rollup_multi": _hex_rollup_multi_sql(),
     "mask_contours": _mask_contours_sql(),
     "gapfill_linear": _GAPFILL_SQL.format(gv_cte=_GV_CTE),
     "stratified_sample": _stratified_sample_sql(),

@@ -296,7 +296,7 @@ def test_polyfill_membership_exact():
             assert via == bool(truth[n]), (zid, pla[n], plo[n])
 
 
-HEX5_GRID_DIM_MD5 = "419c16addd9c1148475c0c16fe6c3690"
+HEX5_GRID_DIM_MD5 = "2cf22970308ccbae14098389f15ff607"
 
 
 def test_hex5_grid_dim_fixture_pinned():
@@ -320,3 +320,31 @@ def test_hex5_grid_dim_fixture_pinned():
     fresh = fresh.sort_values(["lat_idx", "lon_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, fresh)
     assert G.content_hash(df) == HEX5_GRID_DIM_MD5
+
+
+def test_parent_expr_matches_numpy(spark):
+    """The Catalyst parent-truncate / token-render expressions are
+    bit-identical to their numpy twins (hex7_parent_np /
+    hex7_token_np's render) — the contract that lets rollup cascades
+    derive coarse levels JVM-side from one fine Arrow encode."""
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(13)
+    lat = rng.uniform(-60, 60, 256)
+    lon = rng.uniform(-150, 150, 256)
+    id5 = H.hex7_id_np(lat, lon, 5)
+    df = spark.createDataFrame([(int(c),) for c in id5], ["id5"])
+    got = df.select(
+        H.hex7_token_expr(F.col("id5")).alias("t5"),
+        H.hex7_parent_expr(F.col("id5"), 4).alias("p4"),
+        H.hex7_token_expr(H.hex7_parent_expr(F.col("id5"), 3)).alias("t3"),
+    ).collect()
+    want_p4 = H.hex7_parent_np(id5, 5, 4)
+    want_t5 = H.hex7_token_np(lat, lon, 5)
+    want_t3 = [
+        format(int(c) & 0xFFFFFFFFFFFFFFFF, "016x")
+        for c in H.hex7_parent_np(id5, 5, 3)
+    ]
+    assert [r.t5 for r in got] == list(want_t5)
+    assert [r.p4 for r in got] == list(want_p4)
+    assert [r.t3 for r in got] == want_t3

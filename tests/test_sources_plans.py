@@ -539,3 +539,16 @@ def test_hex_zone_join_broadcasts_cover(spark):
     assert "BroadcastHashJoin" in plan, "hex zone cover must broadcast"
     assert "CartesianProduct" not in plan
     assert plan.count("ArrowEvalPython") == 1  # the hex encode only
+
+
+def test_hex_rollup_multi_single_pass(spark):
+    """The hierarchical hex rollup must pay the fact table ONCE: one
+    Arrow encode stage, one fact-cardinality shuffle plus one tiny
+    re-agg shuffle, and no per-level union re-computation (which would
+    show 3 ArrowEvalPython / 6 Exchanges)."""
+    from geodata_spark import queries as Q
+
+    df = Q.q_hex_rollup_multi(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Exchange") == 2, plan

@@ -32,13 +32,27 @@ def build_frame():
     yy, xx = yy.ravel(), xx.ravel()
     lat = LAT0 + DLAT * yy.astype(np.float64)
     lon = LON0 + DLON * xx.astype(np.float64)
+
+    def _tok(ids: np.ndarray) -> np.ndarray:
+        out = np.empty(len(ids), dtype=object)
+        for n, c in enumerate(ids):
+            out[n] = format(int(c) & 0xFFFFFFFFFFFFFFFF, "016x")
+        return out
+
+    # parents derive from the res-5 encode by digit truncation — the
+    # enforced "encode fine, then truncate" contract (hexgrid.py
+    # hex7_parent_np docstring); a direct coarse encode would disagree
+    # on ~1/3 of cells (inherent aperture-7 behavior)
+    id5 = HG.hex7_id_np(lat, lon, 5)
     return pd.DataFrame(
         {
             "lat_idx": yy.astype(np.int64),
             "lon_idx": xx.astype(np.int64),
             "lat": lat,
             "lon": lon,
-            "hex5": HG.hex7_token_np(lat, lon, 5),
+            "hex5": _tok(id5),
+            "hex4": _tok(HG.hex7_parent_np(id5, 5, 4)),
+            "hex3": _tok(HG.hex7_parent_np(id5, 5, 3)),
         }
     )
 
@@ -47,7 +61,8 @@ def content_hash(df) -> str:
     import hashlib
 
     lines = sorted(
-        f"{r.lat_idx},{r.lon_idx},{r.hex5}" for r in df.itertuples()
+        f"{r.lat_idx},{r.lon_idx},{r.hex5},{r.hex4},{r.hex3}"
+        for r in df.itertuples()
     )
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
