@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geodata_spark import cells, spatial, zonal
+from geodata_spark import cells, layout, spatial, zonal
 from geodata_spark.synth import (
     N_DOCS_MULTIPLIER,
     documents_sql_cte,
@@ -2808,6 +2808,43 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_top_terms(docs, top_k=3)
 
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per coarse Morton tile (Z-order key >> 18): span count, exact
+    val sum, and the lat/lon envelope — the row-group-statistics story
+    of ``layout.write_spatial_sorted`` expressed as data.  The key is
+    one whole-stage-codegen expression (layout.zorder_expr); the oracle
+    renders the SAME generated mask pipeline in DuckDB's shift dialect,
+    so key derivation has a single source of truth.  A tight envelope
+    per tile is exactly what makes bbox filters prune at the metadata
+    level at 100 TB."""
+    docs = corpus(spark, sf_dir)
+    pts = spatial.parse_geo_spans(docs)
+    enc = pts.withColumn("ztile", F.expr(layout.ztile_sql("lat", "lon")))
+    return enc.groupBy("ztile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").alias("val_sum"),
+        F.min("lat").alias("lat_min"),
+        F.max("lat").alias("lat_max"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+    )
+
+
+_ZORDER_SQL = f"""
+WITH {_CORPUS_CTE}
+SELECT {layout.ztile_sql('lat', 'lon', dialect='duckdb')} AS ztile,
+       count(*) AS n,
+       sum(val) AS val_sum,
+       min(lat) AS lat_min,
+       max(lat) AS lat_max,
+       min(lon) AS lon_min,
+       max(lon) AS lon_max
+FROM spansx
+WHERE kind = 'geo'
+GROUP BY 1
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -2831,7 +2868,6 @@ QUERIES = {
     "tpch_pricing_summary": q_tpch_pricing,
     "tpch_revenue_nation": q_tpch_revenue_nation,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
-    "tpch_cust_order_stats": q_tpch_cust_order_stats,
     "model_fit_loglinear": q_model_fit,
     "ann_ivf_topk": q_ann_ivf_topk,
     "idw_interp": q_idw_interp,
@@ -2869,8 +2905,11 @@ QUERIES = {
     # two-phase star contraction, tfidf_top_terms had no driver row yet
     "dedup_clusters": q_dedup_clusters,
     "tfidf_top_terms": q_tfidf_top_terms,
+    # new round 6: Z-order layout key audit (dialect-twinned Morton key)
+    "zorder_stats": q_zorder_stats,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "tpch_cust_order_stats": q_tpch_cust_order_stats,
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "gapfill_linear": q_gapfill_linear,
     "stratified_sample": q_stratified_sample,
@@ -2993,4 +3032,5 @@ ORACLES = {
     # iterative hash-min fixpoint vs recursive-CTE transitive closure
     "dedup_clusters": _dedup_clusters_sql(),
     "tfidf_top_terms": TX.tfidf_top_terms_sql(top_k=3),
+    "zorder_stats": _ZORDER_SQL,
 }

@@ -30,7 +30,7 @@ REPO = Path(__file__).resolve().parents[1]
 ROTATED_IN_R6 = {
     "hex_rollup", "hex_knn", "zonal_wavg_hex",
     "tfidf_top_terms", "dedup_clusters", "doc_quantiles",
-    "hex_rollup_multi",
+    "hex_rollup_multi", "zorder_stats",
 }
 
 

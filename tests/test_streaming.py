@@ -224,3 +224,70 @@ def test_streaming_checkpoint_kill_resume_exactly_once(spark, tmp_path):
     assert got.count() == want.count()      # no dupes, no gaps
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics for real: a row whose event time is older
+    than (max event time - watermark delay) arrives in a LATER
+    micro-batch and must be excluded from the finalized window, while
+    an in-time row of the same batch is counted.  Complete-mode tests
+    can't see this (complete never drops); this drives append mode
+    across three batches with controlled event times."""
+    import os
+    import time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_doc(doc_id, hours):
+        rows = [
+            (
+                doc_id,
+                [
+                    ("geo", "t", f"geo:20.25,75.3125@h{h}#var=wnd100m&val=1.0", i)
+                    for i, h in enumerate(hours)
+                ],
+            )
+        ]
+        spark.createDataFrame(rows, ST.DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: three day-0 spans + a day-4 span that advances the
+    # max event time to h100 -> watermark becomes h98 after the batch
+    write_doc("a", [1, 1, 1, 100])
+    stream = ST.read_documents_stream(spark, src, max_files_per_trigger=1)
+    out = ST.streaming_span_counts(stream, watermark="2 hours", window="1 day")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_counts")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2: h2 is five days older than the h98 watermark -> must be
+    # dropped; h101 is in time and extends day 4
+    time.sleep(1.05)  # file source orders by mod time
+    write_doc("b", [2, 101])
+    q.processAllAvailable()
+
+    # batch 3: advance the watermark far past every open window so all
+    # finalized windows flush to the append sink
+    time.sleep(1.05)
+    write_doc("c", [300])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.window_start.isoformat(): r.n_spans
+        for r in spark.sql(
+            "SELECT * FROM late_counts WHERE kind = 'geo'"
+        ).collect()
+    }
+    # day 0 closed with ONLY batch 1's three spans: the late h2 span
+    # (which complete mode would count as a fourth) never landed
+    assert got["2011-01-01T00:00:00"] == 3, got
+    # the same batch's in-time span did land: day 4 = h100 + h101
+    assert got["2011-01-05T00:00:00"] == 2, got
