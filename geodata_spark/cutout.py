@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from geodata_spark import convert as conv
 from geodata_spark import zonal
@@ -88,6 +89,37 @@ def resample_time(
         df.withColumn("bucket", bucket)
         .groupBy("bucket", "lat", "lon")
         .agg(*[fn(c).alias(c) for c in value_cols])
+    )
+
+
+def climatology_anomaly(
+    df: DataFrame,
+    value_col: str,
+    period_hours: int = 24,
+    hour_col: str = "hour",
+    keys: tuple[str, ...] = ("lat", "lon"),
+) -> DataFrame:
+    """Per-cell climatology and anomaly (deseasonalization).
+
+    Climatology = mean of ``value_col`` over all rows sharing the same
+    phase (``hour % period_hours``) in each cell; anomaly = value −
+    climatology.  The weather-data normalization step (remove the
+    diurnal cycle with period 24, the annual cycle with period 8760)
+    the reference's users apply before trend fitting; the engine's
+    per-cell regression (model.fit_loglinear) composes downstream.
+
+    Spark shape: ONE window aggregate partitioned by (keys, phase) —
+    no self-join, a single hash shuffle on the partition key, and the
+    anomaly subtraction stays in the same stage.  Cardinality of the
+    partition key is cells × period, uniform by construction — no
+    skew, no salting needed.
+    """
+    phase = (F.col(hour_col) % F.lit(period_hours)).alias("phase")
+    out = df.withColumn("phase", phase)
+    w = Window.partitionBy(*keys, "phase")
+    clim = F.avg(value_col).over(w)
+    return out.withColumn(f"{value_col}_clim", clim).withColumn(
+        f"{value_col}_anom", F.col(value_col) - F.col(f"{value_col}_clim")
     )
 
 

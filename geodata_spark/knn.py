@@ -22,10 +22,16 @@ from pyspark.sql.window import Window
 from geodata_spark import cells
 
 
-def _with_neighbor_cells(df: DataFrame, res: int, lat_col: str, lon_col: str) -> DataFrame:
-    """Explode each row into its cell + 8 surrounding cells at ``res``."""
+def _with_neighbor_cells(df: DataFrame, res: int, lat_col: str, lon_col: str,
+                         ring: int = 1) -> DataFrame:
+    """Explode each row into its cell + the ``(2·ring+1)²-1``
+    surrounding cells at ``res``.  Cell edges are dyadic and the
+    offsets are exact multiples of the edge, so offset ``dy`` lands
+    exactly ``dy`` rows away — ring ``ceil(r/edge)`` provably covers
+    every point within planar radius ``r``."""
     e = cells.EDGE_DEG[res]
-    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    rng = range(-ring, ring + 1)
+    offsets = [(dy, dx) for dy in rng for dx in rng]
     cellarr = F.array(
         *[
             cells.cell_expr(
@@ -168,4 +174,117 @@ def idw_interpolate(
             (F.sum(F.col(f"{value_col}_src") * w) / F.sum(w)).alias(out),
             F.count(F.lit(1)).alias("knn_used"),
         )
+    )
+
+
+def radius_join(
+    targets: DataFrame,
+    sources: DataFrame,
+    radius_deg: float,
+    res: int = 7,
+    t_lat: str = "lat",
+    t_lon: str = "lon",
+    s_lat: str = "lat",
+    s_lon: str = "lon",
+) -> DataFrame:
+    """All source points within planar radius of each target — the
+    range-query sibling of :func:`knn_join` (same metric: squared
+    degree distance, dyadic-exact so the boundary predicate is
+    bit-identical across engines).
+
+    Candidate generation is the same cell-neighborhood equi-join, with
+    the ring width derived from the radius (``ceil(r/edge)``) instead
+    of fixed at 1 — candidate volume is O(density × π r²), never a
+    cross join, and both sides shuffle only on the cell id.  At 100 TB
+    pick ``res`` so the ring stays small (edge ≳ radius ⇒ ring 1).
+
+    Output: every (target, source) pair with ``dist2 ≤ radius²``,
+    target columns first, source columns suffixed ``_src``.
+    """
+    import math
+
+    ring = max(1, math.ceil(radius_deg / cells.EDGE_DEG[res]))
+    t = _with_neighbor_cells(targets, res, t_lat, t_lon, ring=ring)
+    s = sources.withColumn(
+        "_nbr_cell", cells.cell_expr(F.col(s_lat), F.col(s_lon), res)
+    )
+    for c in sources.columns:
+        s = s.withColumnRenamed(c, f"{c}_src")
+    s = s.withColumnRenamed("_nbr_cell_src", "_nbr_cell")
+    joined = t.join(s, "_nbr_cell").drop("_nbr_cell")
+    dy = F.col(t_lat) - F.col(f"{s_lat}_src")
+    dx = F.col(t_lon) - F.col(f"{s_lon}_src")
+    return joined.withColumn("dist2", dy * dy + dx * dx).filter(
+        F.col("dist2") <= F.lit(radius_deg * radius_deg)
+    )
+
+
+def bilinear_regrid(
+    targets: DataFrame,
+    sources: DataFrame,
+    value_cols: list[str],
+    lat0: float,
+    dlat: float,
+    lon0: float,
+    dlon: float,
+    ny: int,
+    nx: int,
+    t_lat: str = "lat",
+    t_lon: str = "lon",
+    s_lat: str = "lat",
+    s_lon: str = "lon",
+) -> DataFrame:
+    """Bilinear interpolation from a REGULAR grid to arbitrary points —
+    the ``interp``-style regrid (reference: xarray
+    ``ds.interp(lat=..., lon=...)`` used by remapping workflows) that
+    :func:`nearest_regrid` (reindex nearest) does not express.
+
+    Spark shape: the 4 surrounding corner indices and their weights
+    ``(1∓ty)(1∓tx)`` are computed on the (small) target side and
+    exploded — 4 rows per target — then a plain equi-join on the
+    integer grid index pulls the corner values; a groupBy on the
+    target key sums ``w·value``.  The big gridded side never shuffles
+    on anything but its own (yi, xi) key and never explodes.  Corner
+    indices clamp to the grid interior, so edge targets degrade to
+    linear/nearest instead of dropping.
+
+    Exactness: with dyadic grid spacing and dyadic target coords every
+    weight is a short dyadic rational, so sums are order-independent
+    and the DuckDB oracle matches bit-for-bit — no tolerance.
+    """
+    fy = (F.col(t_lat) - F.lit(lat0)) / F.lit(dlat)
+    fx = (F.col(t_lon) - F.lit(lon0)) / F.lit(dlon)
+    i0 = F.least(F.greatest(F.floor(fy), F.lit(0)), F.lit(ny - 2)).cast("long")
+    j0 = F.least(F.greatest(F.floor(fx), F.lit(0)), F.lit(nx - 2)).cast("long")
+    ty = fy - i0
+    tx = fx - j0
+    corner = F.array(
+        *[
+            F.struct(
+                (i0 + F.lit(dy)).alias("yi"),
+                (j0 + F.lit(dx)).alias("xi"),
+                (
+                    (ty if dy else (F.lit(1.0) - ty))
+                    * (tx if dx else (F.lit(1.0) - tx))
+                ).alias("w"),
+            )
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ]
+    )
+    t = (
+        targets.withColumn("_c", F.explode(corner))
+        .select("*", "_c.yi", "_c.xi", "_c.w")
+        .drop("_c")
+        .filter(F.col("w") != 0.0)  # exact: dyadic weights
+    )
+    s = sources.select(
+        ((F.col(s_lat) - F.lit(lat0)) / F.lit(dlat)).cast("long").alias("yi"),
+        ((F.col(s_lon) - F.lit(lon0)) / F.lit(dlon)).cast("long").alias("xi"),
+        *value_cols,
+    )
+    joined = t.join(s, ["yi", "xi"])
+    aggs = [F.sum(F.col("w") * F.col(c)).alias(f"{c}_bl") for c in value_cols]
+    return joined.groupBy(t_lat, t_lon).agg(
+        *aggs, F.sum("w").alias("w_sum"), F.count(F.lit(1)).alias("n_corners")
     )

@@ -1799,6 +1799,143 @@ GROUP BY 1, 2
 """
 
 
+# targets with dyadic fractional grid coordinates (.25/.5/.75/.0 cells)
+# so every bilinear weight is a short dyadic rational -> exact oracle;
+# includes one on-grid row (ty=0, corners collapse to 2) and one at
+# the last column (j0 clamps to nx-2)
+_BL_FY = (2.25, 3.0, 9.75, 17.625)
+_BL_FX = (1.5, 4.25, 10.75, 19.5)
+_BL_TGTS = [
+    (18.25 + fy * 0.5, 73.3125 + fx * 0.625) for fy in _BL_FY for fx in _BL_FX
+]
+
+
+def q_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 extension — bilinear regrid from the regular gv grid to
+    off-grid points (knn.bilinear_regrid): 4-corner explode on the
+    target side, integer-index equi-join, weighted sum.  Dyadic
+    weights -> bit-exact oracle, no tolerance."""
+    from geodata_spark import knn
+
+    src = _gv(spark).filter(F.col("hour") == 0).select(
+        "lat", "lon", "temperature", "wnd100m"
+    )
+    tgts = spark.createDataFrame(_BL_TGTS, ["lat", "lon"])
+    out = knn.bilinear_regrid(
+        tgts, src, ["temperature", "wnd100m"],
+        lat0=18.25, dlat=0.5, lon0=73.3125, dlon=0.625,
+        ny=_GV_DIMS["ny"], nx=_GV_DIMS["nx"],
+    )
+    return out.select(
+        "lat", "lon", "temperature_bl", "wnd100m_bl", "w_sum",
+        F.col("n_corners").cast("long").alias("n_corners"),
+    )
+
+
+_REGRID_BL_SQL = f"""
+WITH {_GV_CTE},
+tgts AS (
+  SELECT * FROM (VALUES {', '.join(f'({a!r}, {b!r})' for a, b in _BL_TGTS)}) t(lat, lon)
+),
+src AS (
+  SELECT CAST(round((lat - 18.25) / 0.5) AS BIGINT) AS yi,
+         CAST(round((lon - 73.3125) / 0.625) AS BIGINT) AS xi,
+         temperature, wnd100m
+  FROM gridv WHERE hour = 0
+),
+corn AS (
+  SELECT t.lat, t.lon,
+         least(greatest(CAST(floor((t.lat - 18.25) / 0.5) AS BIGINT), 0),
+               {_GV_DIMS['ny'] - 2}) + c.dy AS yi,
+         least(greatest(CAST(floor((t.lon - 73.3125) / 0.625) AS BIGINT), 0),
+               {_GV_DIMS['nx'] - 2}) + c.dx AS xi,
+         (CASE WHEN c.dy = 1
+               THEN (t.lat - 18.25) / 0.5
+                    - least(greatest(CAST(floor((t.lat - 18.25) / 0.5) AS BIGINT), 0), {_GV_DIMS['ny'] - 2})
+               ELSE 1.0 - ((t.lat - 18.25) / 0.5
+                    - least(greatest(CAST(floor((t.lat - 18.25) / 0.5) AS BIGINT), 0), {_GV_DIMS['ny'] - 2})) END)
+         * (CASE WHEN c.dx = 1
+               THEN (t.lon - 73.3125) / 0.625
+                    - least(greatest(CAST(floor((t.lon - 73.3125) / 0.625) AS BIGINT), 0), {_GV_DIMS['nx'] - 2})
+               ELSE 1.0 - ((t.lon - 73.3125) / 0.625
+                    - least(greatest(CAST(floor((t.lon - 73.3125) / 0.625) AS BIGINT), 0), {_GV_DIMS['nx'] - 2})) END)
+         AS w
+  FROM tgts t, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(dy, dx)
+)
+SELECT c.lat, c.lon,
+       sum(c.w * s.temperature) AS temperature_bl,
+       sum(c.w * s.wnd100m) AS wnd100m_bl,
+       sum(c.w) AS w_sum,
+       count(*) AS n_corners
+FROM corn c JOIN src s ON c.yi = s.yi AND c.xi = s.xi
+WHERE c.w <> 0
+GROUP BY 1, 2
+"""
+
+
+def q_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalization — per-cell diurnal climatology (mean over the
+    hour-of-day phase) and anomaly in ONE window aggregate
+    (cutout.climatology_anomaly); 48 h over 24-h period -> 2 samples
+    per phase, so the mean's division is exact."""
+    from geodata_spark import cutout as CU
+
+    out = CU.climatology_anomaly(_gv(spark), "temperature", period_hours=24)
+    return out.select(
+        F.col("hour").cast("long").alias("hour"),
+        "lat", "lon",
+        F.col("phase").cast("long").alias("phase"),
+        "temperature", "temperature_clim", "temperature_anom",
+    )
+
+
+_CLIM_ANOM_SQL = f"""
+WITH {_GV_CTE}
+SELECT CAST(hour AS BIGINT) AS hour, lat, lon,
+       CAST(hour % 24 AS BIGINT) AS phase,
+       temperature,
+       avg(temperature) OVER (PARTITION BY lat, lon, hour % 24) AS temperature_clim,
+       temperature - avg(temperature) OVER (PARTITION BY lat, lon, hour % 24)
+         AS temperature_anom
+FROM gridv
+"""
+
+
+def q_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query — every corpus geo span within planar radius 1 deg
+    of each target (knn.radius_join: ring-cell equi-join sized from
+    radius/edge, dist2 filter), aggregated per target.  dist2 is
+    dyadic -> the boundary predicate agrees bit-for-bit with the
+    oracle's cross-join filter."""
+    from geodata_spark import knn
+
+    docs = corpus(spark, sf_dir)
+    pts = spatial.parse_geo_spans(docs).select("lat", "lon", "val")
+    tgts = spark.createDataFrame(_KNN_TGTS, ["lat", "lon"])
+    hits = knn.radius_join(tgts, pts, radius_deg=1.0, res=7)
+    return hits.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.sum("val_src").alias("val_sum"),
+        F.min("dist2").alias("d2_min"),
+    )
+
+
+def _geo_radius_sql() -> str:
+    tgts = ", ".join(f"({a!r}, {b!r})" for a, b in _KNN_TGTS)
+    return f"""
+WITH {_CORPUS_CTE},
+tgts AS (SELECT * FROM (VALUES {tgts}) t(lat, lon)),
+pairs AS (
+  SELECT t.lat, t.lon, s.val,
+         (t.lat - s.lat) * (t.lat - s.lat) + (t.lon - s.lon) * (t.lon - s.lon) AS d2
+  FROM tgts t, (SELECT lat, lon, val FROM spansx WHERE kind = 'geo') s
+)
+SELECT lat, lon, count(*) AS n_in, sum(val) AS val_sum, min(d2) AS d2_min
+FROM pairs WHERE d2 <= 1.0
+GROUP BY 1, 2
+"""
+
+
 def q_mask_dilate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-buffer analog: Euclidean disc dilation (r = 2 cells) of the
     sparse protected-area mask (masks.dilate; reference km buffering
@@ -2878,9 +3015,6 @@ QUERIES = {
     "spline_profile": q_spline_profile,
     "embed_neardup": q_embed_neardup,
     "pack_chunks": q_pack_chunks,
-    "dataset_split": q_dataset_split,
-    "decontamination": q_decontamination,
-    "pii_redact": q_pii_redact,
     "doc_quantiles": q_doc_quantiles,
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
     "sql_tpch_pricing": q_sql_tpch_pricing,
@@ -2905,10 +3039,17 @@ QUERIES = {
     # two-phase star contraction, tfidf_top_terms had no driver row yet
     "dedup_clusters": q_dedup_clusters,
     "tfidf_top_terms": q_tfidf_top_terms,
-    # new round 6: Z-order layout key audit (dialect-twinned Morton key)
+    # new round 6: Z-order layout key audit (dialect-twinned Morton
+    # key), bilinear regrid, climatology anomaly, planar radius query
     "zorder_stats": q_zorder_stats,
+    "regrid_bilinear": q_regrid_bilinear,
+    "climatology_anomaly": q_climatology_anomaly,
+    "geo_radius": q_geo_radius,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "dataset_split": q_dataset_split,
+    "decontamination": q_decontamination,
+    "pii_redact": q_pii_redact,
     "tpch_cust_order_stats": q_tpch_cust_order_stats,
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "gapfill_linear": q_gapfill_linear,
@@ -3033,4 +3174,7 @@ ORACLES = {
     "dedup_clusters": _dedup_clusters_sql(),
     "tfidf_top_terms": TX.tfidf_top_terms_sql(top_k=3),
     "zorder_stats": _ZORDER_SQL,
+    "regrid_bilinear": _REGRID_BL_SQL,
+    "climatology_anomaly": _CLIM_ANOM_SQL,
+    "geo_radius": _geo_radius_sql(),
 }

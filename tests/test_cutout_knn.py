@@ -109,3 +109,83 @@ def test_idw_interpolate_exact_hit_dominates(spark):
     tgts = spark.createDataFrame([(float(t0.lat), float(t0.lon))], ["lat", "lon"])
     out = knn.idw_interpolate(tgts, src, "temperature", k=4, res=6).toPandas()
     assert np.isclose(out.idw_value.iloc[0], t0.temperature, rtol=1e-6)
+
+
+def test_radius_join_vs_brute_force(spark):
+    """Ring-cell candidate generation must be complete: radius_join
+    returns exactly the pairs a cross-join distance filter returns,
+    including a radius big enough to need ring > 1 at res 8."""
+    src = synth_grid_vars(spark, nhours=1, ny=10, nx=10, variables=("temperature",)).select(
+        "lat", "lon", "temperature"
+    )
+    tgts = spark.createDataFrame(
+        [(20.26, 74.33), (21.875, 75.9375), (19.0, 77.0)], ["lat", "lon"]
+    )
+    for radius, res in ((1.0, 7), (1.75, 8)):  # ring 1 and ring 4
+        got = (
+            knn.radius_join(tgts, src, radius_deg=radius, res=res)
+            .select("lat", "lon", "lat_src", "lon_src")
+            .toPandas()
+        )
+        sp, tp = src.toPandas(), tgts.toPandas()
+        want = {
+            (t.lat, t.lon, s.lat, s.lon)
+            for _, t in tp.iterrows()
+            for _, s in sp.iterrows()
+            if (t.lat - s.lat) ** 2 + (t.lon - s.lon) ** 2 <= radius * radius
+        }
+        assert set(map(tuple, got.values)) == want and len(got) == len(want)
+
+
+def test_bilinear_regrid_matches_numpy(spark):
+    """4-corner weighted sum == numpy bilinear on the same grid, and an
+    on-grid target returns the grid value exactly."""
+    ny, nx = 8, 9
+    src = synth_grid_vars(spark, nhours=1, ny=ny, nx=nx, variables=("temperature",)).select(
+        "lat", "lon", "temperature"
+    )
+    sp = src.toPandas().sort_values(["lat", "lon"])
+    grid = sp.temperature.to_numpy().reshape(ny, nx)
+    lat0, dlat, lon0, dlon = 18.25, 0.5, 73.3125, 0.625
+    # fractional cells: dyadic off-grid, on-grid, and edge-clamped
+    fracs = [(1.25, 2.5), (3.0, 4.0), (6.75, 7.875), (0.0, 0.25)]
+    tgts_xy = [(lat0 + fy * dlat, lon0 + fx * dlon) for fy, fx in fracs]
+    tgts = spark.createDataFrame(tgts_xy, ["lat", "lon"])
+    out = (
+        knn.bilinear_regrid(
+            tgts, src, ["temperature"], lat0=lat0, dlat=dlat,
+            lon0=lon0, dlon=dlon, ny=ny, nx=nx,
+        )
+        .toPandas()
+        .set_index(["lat", "lon"])
+    )
+    for (fy, fx), (tlat, tlon) in zip(fracs, tgts_xy):
+        i0, j0 = min(int(fy), ny - 2), min(int(fx), nx - 2)
+        ty, tx = fy - i0, fx - j0
+        want = (
+            grid[i0, j0] * (1 - ty) * (1 - tx)
+            + grid[i0, j0 + 1] * (1 - ty) * tx
+            + grid[i0 + 1, j0] * ty * (1 - tx)
+            + grid[i0 + 1, j0 + 1] * ty * tx
+        )
+        row = out.loc[(tlat, tlon)]
+        assert row.temperature_bl == want          # dyadic-exact
+        assert row.w_sum == 1.0
+    # the on-grid target (ty=tx=0) collapsed to a single corner
+    assert out.loc[tgts_xy[1]].n_corners == 1
+
+
+def test_climatology_anomaly_window(spark):
+    """Anomalies sum to zero per (cell, phase) group and clim is the
+    exact 2-sample mean with a 48 h / 24 h-period input."""
+    from geodata_spark.cutout import climatology_anomaly
+
+    gv = synth_grid_vars(spark, nhours=48, ny=3, nx=3, variables=("temperature",))
+    out = climatology_anomaly(gv, "temperature", period_hours=24).toPandas()
+    assert len(out) == 48 * 9
+    g = out.groupby(["lat", "lon", "phase"])
+    assert (g.temperature_anom.sum().abs() < 1e-12).all()
+    assert (g.temperature_clim.nunique() == 1).all()
+    m = g.temperature.mean()
+    c = g.temperature_clim.first()
+    assert (m == c).all()                          # n=2 -> exact mean

@@ -31,6 +31,7 @@ ROTATED_IN_R6 = {
     "hex_rollup", "hex_knn", "zonal_wavg_hex",
     "tfidf_top_terms", "dedup_clusters", "doc_quantiles",
     "hex_rollup_multi", "zorder_stats",
+    "regrid_bilinear", "climatology_anomaly", "geo_radius",
 }
 
 
