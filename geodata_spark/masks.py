@@ -464,3 +464,44 @@ def contour_segments(
         F.col("_e.lat1").alias("lat1"),
         F.col("_e.lon1").alias("lon1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# terrain gradient — central finite differences on a raster layer
+# ---------------------------------------------------------------------------
+
+def slope_finite_diff(layer: DataFrame, value_col: str = "value") -> DataFrame:
+    """Central-difference gradient of a raster layer (the DEM → slope
+    step of the reference's suitability workflow, mask.py slope layer;
+    there it arrives pre-computed — here the engine derives it).
+
+    Spark shape: one analytic window per axis (partition by the row
+    index, order by the column index, ``lead − lag`` over two cells) —
+    two hash shuffles total, versus four equi-joins for the shifted-
+    copy formulation, and no explode.  Adjacency is GUARDED: the
+    neighbor's index must differ by exactly 1, so holes in the raster
+    yield NULL derivatives instead of differencing across the gap.
+
+    Output adds ``dzdx``/``dzdy`` (per-cell-index units; multiply by
+    1/cell-size for physical units) and ``slope2`` = |∇z|².  All
+    arithmetic is add/subtract + divide-by-2 — dyadic-exact.
+    """
+    from pyspark.sql.window import Window
+
+    def cdiff(part_col: str, ord_col: str):
+        w = Window.partitionBy(part_col).orderBy(ord_col)
+        ok = (
+            (F.col(ord_col) - F.lag(ord_col).over(w) == 1)
+            & (F.lead(ord_col).over(w) - F.col(ord_col) == 1)
+        )
+        return F.when(
+            ok, (F.lead(value_col).over(w) - F.lag(value_col).over(w)) / 2.0
+        )
+
+    out = layer.withColumn("dzdx", cdiff("y_idx", "x_idx")).withColumn(
+        "dzdy", cdiff("x_idx", "y_idx")
+    )
+    return out.withColumn(
+        "slope2",
+        F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy"),
+    )

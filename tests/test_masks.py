@@ -230,3 +230,37 @@ def test_contour_segments_semantics(spark):
     # segment endpoints sit on half-step corners
     s = [r for r in segs if (r["y_idx"], r["x_idx"]) == (10, 10) and r["edge"] == "W"][0]
     assert (s["lat0"], s["lon0"], s["lat1"], s["lon1"]) == (9.5, 9.5, 10.5, 9.5)
+
+
+def test_slope_finite_diff_matches_numpy(spark):
+    """Window-based central differences == numpy's interior gradient;
+    border cells (no two-sided neighbor) come back NULL; a hole in the
+    raster nulls its neighbors' derivative instead of bridging it."""
+    from geodata_spark.masks import slope_finite_diff
+    from geodata_spark.synth import synth_mask_layers
+
+    ny, nx = 9, 11
+    elev = synth_mask_layers(spark, ny=ny, nx=nx).filter(
+        F.col("layer") == "elevation"
+    )
+    out = slope_finite_diff(elev).toPandas().sort_values(["y_idx", "x_idx"])
+    z = out.value.to_numpy().reshape(ny, nx)
+    dzdx = out.dzdx.to_numpy().reshape(ny, nx)
+    dzdy = out.dzdy.to_numpy().reshape(ny, nx)
+    # interior: exact central difference
+    want_x = (z[:, 2:] - z[:, :-2]) / 2.0
+    want_y = (z[2:, :] - z[:-2, :]) / 2.0
+    assert (dzdx[:, 1:-1] == want_x).all()
+    assert (dzdy[1:-1, :] == want_y).all()
+    # borders NULL
+    assert np.isnan(dzdx[:, [0, -1]]).all() and np.isnan(dzdy[[0, -1], :]).all()
+
+    # hole: remove one cell; its 4-neighbors lose the crossing derivative
+    hy, hx = 4, 5
+    holed = elev.filter(~((F.col("y_idx") == hy) & (F.col("x_idx") == hx)))
+    oh = slope_finite_diff(holed).toPandas()
+    oh = oh.set_index(["y_idx", "x_idx"])
+    assert np.isnan(oh.loc[(hy, hx - 1)].dzdx) and np.isnan(oh.loc[(hy, hx + 1)].dzdx)
+    assert np.isnan(oh.loc[(hy - 1, hx)].dzdy) and np.isnan(oh.loc[(hy + 1, hx)].dzdy)
+    # cells two away are unaffected (guard is adjacency, not presence)
+    assert oh.loc[(hy, hx - 2)].dzdx == out.set_index(["y_idx", "x_idx"]).loc[(hy, hx - 2)].dzdx

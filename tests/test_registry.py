@@ -32,6 +32,7 @@ ROTATED_IN_R6 = {
     "tfidf_top_terms", "dedup_clusters", "doc_quantiles",
     "hex_rollup_multi", "zorder_stats",
     "regrid_bilinear", "climatology_anomaly", "geo_radius",
+    "events_sessions_swin", "terrain_slope",
 }
 
 

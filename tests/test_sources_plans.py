@@ -552,3 +552,41 @@ def test_hex_rollup_multi_single_pass(spark):
     plan = _plan(df)
     assert plan.count("ArrowEvalPython") == 1, plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_radius_join_plan_equi_join(spark):
+    """radius_join must stay a cell-ring equi-join at every ring width
+    — no CartesianProduct / NestedLoop even when the radius forces
+    ring 4."""
+    from geodata_spark import knn
+
+    src = synth_grid_vars(spark, 1, 8, 8, variables=("temperature",)).select(
+        "lat", "lon", "temperature"
+    )
+    tgts = spark.createDataFrame([(20.0, 74.0), (21.0, 75.0)], ["lat", "lon"])
+    out = knn.radius_join(tgts, src, radius_deg=1.75, res=8)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert (
+        "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_bilinear_regrid_plan_no_grid_explode(spark):
+    """bilinear_regrid: integer-index equi-join, the corner explode
+    only on the target side (Generate sits above the target scan, the
+    grid side feeds the join un-exploded), no cross product."""
+    from geodata_spark import knn
+
+    src = synth_grid_vars(spark, 1, 8, 8, variables=("temperature",)).select(
+        "lat", "lon", "temperature"
+    )
+    tgts = spark.createDataFrame([(20.25, 74.0)], ["lat", "lon"])
+    out = knn.bilinear_regrid(
+        tgts, src, ["temperature"], lat0=18.25, dlat=0.5,
+        lon0=73.3125, dlon=0.625, ny=8, nx=8,
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("Generate") == 1, "only the target side explodes"

@@ -291,3 +291,57 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert got["2011-01-01T00:00:00"] == 3, got
     # the same batch's in-time span did land: day 4 = h100 + h101
     assert got["2011-01-05T00:00:00"] == 2, got
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """The built-in session_window groupBy runs unchanged as a
+    streaming stateful aggregation; driven to completion it must equal
+    the batch result bit-for-bit (same mergeable-state operator the
+    events_sessions_swin registry query uses)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    rows = [
+        (u, f"2020-01-01 {h:02d}:{m:02d}:00")
+        for u in range(4)
+        for h, m in [(0, 0), (0, 20), (0, 40), (2, 0), (2, 10), (5, u * 10)]
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    # one file -> one micro-batch: nothing is late relative to the
+    # watermark (late-drop behavior is pinned by the dedicated test)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    def sessions(df):
+        return df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    want = sorted(
+        (r.user_id, r.sw.start, r.sw.end, r.n)
+        for r in sessions(spark.read.parquet(src)).collect()
+    )
+
+    stream = (
+        spark.readStream.schema("user_id int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessions(stream.withWatermark("ts", "1 hour"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(
+        (r.user_id, r.sw.start, r.sw.end, r.n)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    )
+    q.stop()
+    assert got == want and len(want) == 12  # 3 sessions x 4 users
