@@ -205,3 +205,67 @@ def write_bucketed(
         "n_buckets": n_buckets,
         "bucket_col": bcols[0] if len(bcols) == 1 else tuple(bcols),
     }
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    seq_col: str,
+) -> dict:
+    """MERGE-style keyed upsert into a partitioned parquet tree —
+    partition-level copy-on-write, no table format required.
+
+    Semantics of ``MERGE INTO t USING u ON keys WHEN MATCHED THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT``, resolved by recency: for
+    each key the surviving row is the one with the LARGEST
+    ``(seq_col, other columns)`` struct — lexicographic max, so a tie
+    on ``seq_col`` still picks a deterministic winner (the rule
+    ``media_dedup`` uses with min).
+
+    100 TB shape: only the partitions the update batch touches are
+    read or rewritten —
+
+    1. the touched-partition list comes from one tiny distinct on the
+       update batch (bounded by the batch's partition fan-out, the
+       only ``collect``);
+    2. the target read prunes to those partitions (pushed partition
+       filter on the scan);
+    3. survivors come from ONE hash aggregation (``max(struct(...))``,
+       map-side combinable) — no window sort;
+    4. the write runs in dynamic partition-overwrite mode, so
+       untouched partitions are never rewritten (their files stay
+       byte-identical) and re-running the same merge is idempotent.
+
+    Iceberg note: with a configured catalog (``iceberg_catalog``) the
+    same plan becomes ``MERGE INTO`` against snapshot isolation; this
+    path-based variant is transactional only per partition directory
+    (the fallback contract write_table documents).
+    """
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    data_cols = [c for c in updates.columns if c not in (partition_col, seq_col)]
+    try:
+        target = spark.read.parquet(target_path).filter(
+            F.col(partition_col).isin(parts)
+        )
+        merged = target.select(updates.columns).unionByName(updates)
+    except Exception:  # first merge: target does not exist yet
+        merged = updates
+    ordered = [seq_col] + [c for c in data_cols if c not in key_cols]
+    surv = merged.groupBy(partition_col, *key_cols).agg(
+        F.max(F.struct(*ordered)).alias("_s")
+    )
+    out = surv.select(
+        partition_col, *key_cols, *[F.col(f"_s.{c}") for c in ordered]
+    ).select(updates.columns)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"touched_partitions": sorted(parts), "n_touched": len(parts)}

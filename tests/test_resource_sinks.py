@@ -164,3 +164,69 @@ def test_bucketed_multi_column_keys_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_m_a")
         spark.sql("DROP TABLE IF EXISTS bkt_m_b")
+
+
+def test_merge_upsert_partition_cow(spark, tmp_path):
+    """Keyed MERGE semantics on a partitioned parquet tree: updates
+    win by seq, inserts land, untouched partitions stay byte-identical
+    on disk, and re-running the same merge is idempotent."""
+    import glob
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    tgt = str(tmp_path / "tbl")
+    cols = "day long, k long, seq long, v string"
+    base = spark.createDataFrame(
+        [(d, k, 0, f"base-{d}-{k}") for d in (1, 2, 3, 4) for k in range(5)], cols
+    )
+    sinks.merge_upsert(spark, tgt, base, ["k"], "day", "seq")
+
+    def tree_hash(days):
+        out = {}
+        for d in days:
+            files = sorted(glob.glob(os.path.join(tgt, f"day={d}", "*.parquet")))
+            h = hashlib.md5()
+            for f in files:
+                h.update(open(f, "rb").read())
+            out[d] = (len(files), h.hexdigest())
+        return out
+
+    before = tree_hash((1, 4))
+
+    # touch only days 2 and 3: update k=0..1, insert k=100
+    upd = spark.createDataFrame(
+        [(d, k, 7, f"new-{d}-{k}") for d in (2, 3) for k in (0, 1, 100)], cols
+    )
+    res = sinks.merge_upsert(spark, tgt, upd, ["k"], "day", "seq")
+    assert res["touched_partitions"] == [2, 3]
+
+    got = {
+        (r.day, r.k): (r.seq, r.v)
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert len(got) == 4 * 5 + 2  # 2 inserts, updates replaced in place
+    assert got[(2, 0)] == (7, "new-2-0") and got[(3, 100)] == (7, "new-3-100")
+    assert got[(2, 4)] == (0, "base-2-4")      # untouched key, touched day
+    assert got[(1, 0)] == (0, "base-1-0")      # untouched day
+    assert tree_hash((1, 4)) == before         # days 1/4 never rewritten
+
+    # idempotence: the same merge again changes nothing
+    sinks.merge_upsert(spark, tgt, upd, ["k"], "day", "seq")
+    again = {
+        (r.day, r.k): (r.seq, r.v)
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert again == got
+
+    # stale update (smaller seq) must lose; seq tie resolves to the
+    # lexicographically larger value struct, deterministically
+    stale = spark.createDataFrame([(2, 0, 3, "stale"), (2, 1, 7, "zzz")], cols)
+    sinks.merge_upsert(spark, tgt, stale, ["k"], "day", "seq")
+    final = {
+        (r.day, r.k): (r.seq, r.v)
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert final[(2, 0)] == (7, "new-2-0")     # stale lost
+    assert final[(2, 1)] == (7, "zzz")         # tie -> max struct wins
