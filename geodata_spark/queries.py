@@ -1172,6 +1172,77 @@ def q_events_sessions_swin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational surface — ``groupBy().pivot()`` with an EXPLICIT
+    value list (the two-phase form: without it Spark burns a whole
+    extra job collecting distinct values, and the output schema is
+    data-dependent — both wrong at 100 TB).  Catalyst compiles it to
+    one conditional-aggregate pass, the same CASE shape as the
+    oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    named = out.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+    )
+    spend = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    ).groupBy("user_id").agg(F.sum("value").alias("purchase_value"))
+    return named.join(spend, "user_id", "left").na.fill({"purchase_value": 0.0})
+
+
+_EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0) AS purchase_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-class extension — trailing 24 h moving average per cell via a
+    RANGE frame (``rangeBetween(-23, 0)`` on the integer hour), the
+    value-based frame type nothing else in the registry exercises.
+    Same sort both engines; dyadic sums and identical (sum, count)
+    operands keep the division bit-exact even at ramp-in, where the
+    frame holds fewer than 24 rows."""
+    from pyspark.sql.window import Window
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    w = (
+        Window.partitionBy("lat", "lon")
+        .orderBy(F.col("hour").cast("long"))
+        .rangeBetween(-23, 0)
+    )
+    return gv.select(
+        F.col("hour").cast("long").alias("hour"),
+        "lat", "lon", "temperature",
+        F.avg("temperature").over(w).alias("t_trail24"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_frame"),
+    )
+
+
+_ROLLING_MEAN_SQL = f"""
+WITH {_GV_CTE}
+SELECT CAST(hour AS BIGINT) AS hour, lat, lon, temperature,
+       avg(temperature) OVER w AS t_trail24,
+       count(*) OVER w AS n_frame
+FROM gridv
+WINDOW w AS (PARTITION BY lat, lon ORDER BY hour
+             RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEM → gradient: central finite differences on the elevation
     mask layer (masks.slope_finite_diff — one analytic window per
@@ -3065,9 +3136,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "exact_dedup": q_exact_dedup,
     "minhash_lsh_dedup": q_minhash_dedup,
-    "simhash_neardup": q_simhash_neardup,
     "tpch_pricing_summary": q_tpch_pricing,
-    "tpch_revenue_nation": q_tpch_revenue_nation,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
     "model_fit_loglinear": q_model_fit,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -3111,8 +3180,12 @@ QUERIES = {
     "geo_radius": q_geo_radius,
     "events_sessions_swin": q_events_sessions_swin,
     "terrain_slope": q_terrain_slope,
+    "events_pivot": q_events_pivot,
+    "rolling_mean": q_rolling_mean,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "tpch_revenue_nation": q_tpch_revenue_nation,
+    "simhash_neardup": q_simhash_neardup,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_brute_topk": q_ann_brute_topk,
     "dataset_split": q_dataset_split,
@@ -3248,4 +3321,6 @@ ORACLES = {
     # built-in session_window proved equivalent to the lag formulation
     "events_sessions_swin": _EVENTS_SESSIONS_SQL,
     "terrain_slope": _terrain_slope_sql(),
+    "events_pivot": _EVENTS_PIVOT_SQL,
+    "rolling_mean": _ROLLING_MEAN_SQL,
 }
