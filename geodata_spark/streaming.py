@@ -239,3 +239,38 @@ def streaming_dedup_first_seen(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    partition_col: str,
+    seq_col: str,
+    checkpoint: str,
+):
+    """Continuous keyed upsert — the streaming CDC sink.
+
+    Each micro-batch flows through :func:`geodata_spark.sinks.
+    merge_upsert` via ``foreachBatch``: latest-by-``seq_col`` per key,
+    partition-level copy-on-write, only touched partitions rewritten.
+    End-to-end effectively-exactly-once WITHOUT a transactional sink:
+    the checkpoint makes batch replay the only failure mode, and the
+    merge is idempotent AND commutative-by-recency (max-struct), so a
+    replayed or duplicated batch converges to the same table.  This is
+    the streaming analog of lineage.run_partitioned's resume contract.
+    """
+    from geodata_spark import sinks
+
+    def _merge_batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        sinks.merge_upsert(
+            df.sparkSession, target_path, df, key_cols, partition_col, seq_col
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

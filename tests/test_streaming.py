@@ -345,3 +345,106 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     )
     q.stop()
     assert got == want and len(want) == 12  # 3 sessions x 4 users
+
+
+def test_streaming_upsert_kill_resume_converges(spark, tmp_path):
+    """foreachBatch + merge_upsert: a checkpointed CDC stream killed
+    mid-flight and resumed must converge to latest-per-key — batch
+    replay is absorbed by the idempotent recency merge."""
+    import os
+    import time
+
+    src = str(tmp_path / "cdc_src")
+    tgt = str(tmp_path / "cdc_tbl")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    os.makedirs(src)
+    cols = "day long, k long, seq long, v string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)  # file source orders by mod time
+
+    def start():
+        stream = (
+            spark.readStream.schema(cols)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return ST.streaming_upsert(stream, tgt, ["k"], "day", "seq", ckpt)
+
+    write_batch([(d, k, 0, f"v0-{d}-{k}") for d in (1, 2) for k in range(4)])
+    write_batch([(1, 0, 1, "v1-1-0"), (1, 9, 1, "v1-1-9")])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # two more batches land while the query is down; the second
+    # re-delivers an already-applied update (at-least-once delivery)
+    write_batch([(2, 1, 2, "v2-2-1"), (3, 0, 2, "v2-3-0")])
+    write_batch([(1, 0, 1, "v1-1-0"), (2, 3, 3, "v3-2-3")])
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {(r.day, r.k): (r.seq, r.v) for r in spark.read.parquet(tgt).collect()}
+    want = {(d, k): (0, f"v0-{d}-{k}") for d in (1, 2) for k in range(4)}
+    want.update({
+        (1, 0): (1, "v1-1-0"), (1, 9): (1, "v1-1-9"),
+        (2, 1): (2, "v2-2-1"), (3, 0): (2, "v2-3-0"), (2, 3): (3, "v3-2-3"),
+    })
+    assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time-interval
+    condition (purchase within 1 h after the click, same user): the
+    stateful two-sided join — watermarks bound both buffers — must
+    produce exactly the batch join's pairs."""
+    import pyspark.sql.functions as F
+
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks = spark.createDataFrame(
+        [(u, f"2020-01-01 {h:02d}:00:00") for u in (1, 2) for h in (0, 3, 6)],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("c_ts"))
+    purch = spark.createDataFrame(
+        [(1, "2020-01-01 00:30:00"), (1, "2020-01-01 04:30:00"),
+         (2, "2020-01-01 03:59:00"), (2, "2020-01-01 06:00:00"),
+         (3, "2020-01-01 00:10:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("p_ts"))
+    clicks.coalesce(1).write.parquet(c_src)
+    purch.coalesce(1).write.parquet(p_src)
+
+    def funnel(c, p):
+        return c.join(
+            p,
+            (c.user_id == p.user_id)
+            & (p.p_ts >= c.c_ts)
+            & (p.p_ts < c.c_ts + F.expr("INTERVAL 1 HOUR")),
+        ).select(c.user_id, "c_ts", "p_ts")
+
+    want = sorted(map(tuple, funnel(clicks, purch).collect()))
+    # expected: u1 00:00->00:30, u2 03:00->03:59, u2 06:00->06:00
+    assert len(want) == 3
+
+    cs = (
+        spark.readStream.schema("user_id int, c_ts timestamp").parquet(c_src)
+        .withWatermark("c_ts", "2 hours")
+    )
+    ps = (
+        spark.readStream.schema("user_id int, p_ts timestamp").parquet(p_src)
+        .withWatermark("p_ts", "2 hours")
+    )
+    q = (
+        funnel(cs, ps)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM funnel_stream").collect()))
+    q.stop()
+    assert got == want

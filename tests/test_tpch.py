@@ -88,3 +88,26 @@ def test_big_money_sums_are_exact_digit_strings(spark, col):
 def test_base_money_sum_is_integral_int64(spark):
     row = tpch.pricing_summary(spark, SF_DIR).agg(F.sum("sum_base_c").alias("s")).first()
     assert row["s"] == int(row["s"])
+
+
+def test_approx_count_distinct_bounded_error(spark):
+    """The 100 TB distinct-count path: HLL++ (bounded sketch state,
+    mergeable map-side) must land within its configured relative
+    standard deviation of the exact distinct count — the same
+    exact-oracle / sketch-production split doc_quantiles documents for
+    percentiles.  (The sketch column stays OUT of driver queries:
+    HLL++ estimates are not cross-engine-reproducible.)"""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert len(got) == 5
+    for r in got:
+        assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact), r
