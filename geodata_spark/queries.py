@@ -1172,6 +1172,113 @@ def q_events_sessions_swin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zone_edges() -> list[tuple[str, int, int, float, float]]:
+    """Closed ring edge list (zone, ring, vertex, x, y) — the first
+    vertex repeated at the end so a lead() window yields every edge
+    including the closing one; single source for Spark and the
+    oracle's VALUES."""
+    from geodata_spark.zones import ZONES
+
+    rows = []
+    for z, rings in ZONES.items():
+        for ri, ring in enumerate(rings):
+            pts = list(map(tuple, ring)) + [tuple(ring[0])]
+            for vi, (x, y) in enumerate(pts):
+                rows.append((z, ri, vi, float(x), float(y)))
+    return rows
+
+
+def q_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/geometry — polygon area + centroid from the ring vertex
+    table via the shoelace formula: one lead() window over the closed
+    vertex list (edges), one groupBy per zone.  Integer vertices make
+    every cross product exact; the centroid divisions see identical
+    operands in both engines.  Multipolygon rings sum area-weighted
+    (signed cross terms — both fixture rings are CCW)."""
+    from pyspark.sql.window import Window
+
+    v = spark.createDataFrame(
+        _zone_edges(), "zone_id string, ring int, vi int, x double, y double"
+    )
+    w = Window.partitionBy("zone_id", "ring").orderBy("vi")
+    e = (
+        v.withColumn("x2", F.lead("x").over(w))
+        .withColumn("y2", F.lead("y").over(w))
+        .filter(F.col("x2").isNotNull())
+        .withColumn("cross", F.col("x") * F.col("y2") - F.col("x2") * F.col("y"))
+    )
+    return e.groupBy("zone_id").agg(
+        (F.sum("cross") / 2.0).alias("area"),
+        (F.sum((F.col("x") + F.col("x2")) * F.col("cross")) / (3.0 * F.sum("cross"))).alias("cx"),
+        (F.sum((F.col("y") + F.col("y2")) * F.col("cross")) / (3.0 * F.sum("cross"))).alias("cy"),
+        (F.max("ring") + 1).cast("long").alias("n_rings"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    )
+
+
+def _zone_stats_sql() -> str:
+    vals = ", ".join(
+        f"('{z}', {ri}, {vi}, {x!r}, {y!r})"
+        for z, ri, vi, x, y in _zone_edges()
+    )
+    return f"""
+WITH v(zone_id, ring, vi, x, y) AS (VALUES {vals}),
+e AS (
+  SELECT zone_id, ring, x, y,
+         lead(x) OVER w AS x2, lead(y) OVER w AS y2
+  FROM v WINDOW w AS (PARTITION BY zone_id, ring ORDER BY vi)
+),
+c AS (
+  SELECT zone_id, ring, x, y, x2, y2, x * y2 - x2 * y AS crs
+  FROM e WHERE x2 IS NOT NULL
+)
+SELECT zone_id,
+       sum(crs) / 2.0 AS area,
+       sum((x + x2) * crs) / (3.0 * sum(crs)) AS cx,
+       sum((y + y2) * crs) / (3.0 * sum(crs)) AS cy,
+       CAST(max(ring) + 1 AS BIGINT) AS n_rings,
+       count(*) AS n_edges
+FROM c GROUP BY zone_id
+"""
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog maintenance — ANALYZE-style one-pass column statistics
+    over lineitem (row count, min/max, exact NDV), the numbers a
+    cost-based optimizer and the partition pruner feed on.  Multiple
+    count(DISTINCT) compile to ONE Expand + two-phase agg — a single
+    scan, not one job per column.  Scale rule: at 100 TB swap the
+    exact NDVs for approx_count_distinct (HLL, mergeable — bounded
+    error pinned in tests/test_tpch.py); exact stays here as the
+    oracle-checkable row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.countDistinct("l_quantity").alias("qty_ndv"),
+        F.min("l_discount").alias("disc_min"),
+        F.max("l_discount").alias("disc_max"),
+        F.countDistinct("l_discount").alias("disc_ndv"),
+        F.countDistinct("l_orderkey").alias("order_ndv"),
+        F.countDistinct("l_partkey").alias("part_ndv"),
+    )
+
+
+_TABLE_STATS_SQL = """
+SELECT count(*) AS n_rows,
+       min(l_quantity) AS qty_min,
+       max(l_quantity) AS qty_max,
+       count(DISTINCT l_quantity) AS qty_ndv,
+       min(l_discount) AS disc_min,
+       max(l_discount) AS disc_max,
+       count(DISTINCT l_discount) AS disc_ndv,
+       count(DISTINCT l_orderkey) AS order_ndv,
+       count(DISTINCT l_partkey) AS part_ndv
+FROM lineitem
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational surface — ``groupBy().pivot()`` with an EXPLICIT
     value list (the two-phase form: without it Spark burns a whole
@@ -3146,8 +3253,6 @@ QUERIES = {
     "multifile_merge": q_multifile_merge,
     "wind_power_smoothed": q_wind_power_smoothed,
     "spline_profile": q_spline_profile,
-    "embed_neardup": q_embed_neardup,
-    "pack_chunks": q_pack_chunks,
     "doc_quantiles": q_doc_quantiles,
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
     "sql_tpch_pricing": q_sql_tpch_pricing,
@@ -3182,8 +3287,12 @@ QUERIES = {
     "terrain_slope": q_terrain_slope,
     "events_pivot": q_events_pivot,
     "rolling_mean": q_rolling_mean,
+    "zone_stats": q_zone_stats,
+    "table_stats": q_table_stats,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "embed_neardup": q_embed_neardup,
+    "pack_chunks": q_pack_chunks,
     "tpch_revenue_nation": q_tpch_revenue_nation,
     "simhash_neardup": q_simhash_neardup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -3323,4 +3432,6 @@ ORACLES = {
     "terrain_slope": _terrain_slope_sql(),
     "events_pivot": _EVENTS_PIVOT_SQL,
     "rolling_mean": _ROLLING_MEAN_SQL,
+    "zone_stats": _zone_stats_sql(),
+    "table_stats": _TABLE_STATS_SQL,
 }

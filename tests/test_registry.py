@@ -33,7 +33,7 @@ ROTATED_IN_R6 = {
     "hex_rollup_multi", "zorder_stats",
     "regrid_bilinear", "climatology_anomaly", "geo_radius",
     "events_sessions_swin", "terrain_slope",
-    "events_pivot", "rolling_mean",
+    "events_pivot", "rolling_mean", "zone_stats", "table_stats",
 }
 
 
