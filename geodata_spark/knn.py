@@ -235,9 +235,11 @@ def bilinear_regrid(
     s_lon: str = "lon",
 ) -> DataFrame:
     """Bilinear interpolation from a REGULAR grid to arbitrary points —
-    the ``interp``-style regrid (reference: xarray
-    ``ds.interp(lat=..., lon=...)`` used by remapping workflows) that
-    :func:`nearest_regrid` (reindex nearest) does not express.
+    the ``interp``-style regrid the reference explicitly falls back
+    FROM ("Next-neighbour interpolation will be used instead!",
+    ``src/geodata/preparation.py:376``): the higher-order path its
+    xarray remap warns it lacks, which :func:`nearest_regrid`
+    (reindex nearest) does not express.
 
     Spark shape: the 4 surrounding corner indices and their weights
     ``(1∓ty)(1∓tx)`` are computed on the (small) target side and

@@ -472,8 +472,10 @@ def contour_segments(
 
 def slope_finite_diff(layer: DataFrame, value_col: str = "value") -> DataFrame:
     """Central-difference gradient of a raster layer (the DEM → slope
-    step of the reference's suitability workflow, mask.py slope layer;
-    there it arrives pre-computed — here the engine derives it).
+    step of the reference's suitability workflow — its slope layer
+    arrives as a pre-computed raster,
+    ``docs/source/mask/mask_creation_workflow.ipynb``; here the engine
+    derives it from elevation).
 
     Spark shape: one analytic window per axis (partition by the row
     index, order by the column index, ``lead − lag`` over two cells) —
