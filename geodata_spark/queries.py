@@ -1188,6 +1188,93 @@ def _zone_edges() -> list[tuple[str, int, int, float, float]]:
     return rows
 
 
+def q_cell_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell lag-1 temporal autocorrelation — the persistence
+    statistic weather-series QA runs before model fitting.  Pearson r
+    written as EXPLICIT sums ((nΣxy − ΣxΣy) / √(nΣx²−(Σx)²) /
+    √(nΣy²−(Σy)²)) rather than the builtin corr(): builtin
+    implementations differ in summation form across engines, while
+    dyadic inputs make these exact sums bit-identical, so only the
+    final divisions/sqrt see (identical) rounding.  One lag window +
+    one hash agg per cell."""
+    from pyspark.sql.window import Window
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    w = Window.partitionBy("lat", "lon").orderBy("hour")
+    p = gv.withColumn("t_prev", F.lag("temperature").over(w)).filter(
+        F.col("t_prev").isNotNull()
+    )
+    x, y = F.col("temperature"), F.col("t_prev")
+    agg = p.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        "lat", "lon", "n", F.round(num / den, 9).alias("acf1")
+    )
+
+
+_CELL_AUTOCORR_SQL = f"""
+WITH {_GV_CTE},
+p AS (
+  SELECT lat, lon, temperature,
+         lag(temperature) OVER (PARTITION BY lat, lon ORDER BY hour) AS t_prev
+  FROM gridv
+),
+a AS (
+  SELECT lat, lon, count(*) AS n,
+         sum(temperature) AS sx, sum(t_prev) AS sy,
+         sum(temperature * t_prev) AS sxy,
+         sum(temperature * temperature) AS sxx,
+         sum(t_prev * t_prev) AS syy
+  FROM p WHERE t_prev IS NOT NULL
+  GROUP BY lat, lon
+)
+SELECT lat, lon, n,
+       round((n * sxy - sx * sy)
+             / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy), 9) AS acf1
+FROM a
+"""
+
+
+def q_events_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram — ntile(10) deciles of event value per
+    type (a unique (value, event_id) sort makes tile assignment
+    deterministic in both engines), then per-bucket count/min/max:
+    the bucketing a quantile-sketch validator or equi-depth CBO
+    histogram builds on."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.withColumn("decile", F.ntile(10).over(w))
+    return t.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+_EVENTS_NTILE_SQL = """
+WITH t AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS INT) AS decile, count(*) AS n,
+       min(value) AS v_min, max(value) AS v_max
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1/geometry — polygon area + centroid from the ring vertex
     table via the shoelace formula: one lead() window over the closed
@@ -3245,9 +3332,7 @@ QUERIES = {
     "minhash_lsh_dedup": q_minhash_dedup,
     "tpch_pricing_summary": q_tpch_pricing,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
-    "model_fit_loglinear": q_model_fit,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "idw_interp": q_idw_interp,
     "media_features": q_media_features,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multifile_merge": q_multifile_merge,
@@ -3289,8 +3374,12 @@ QUERIES = {
     "rolling_mean": q_rolling_mean,
     "zone_stats": q_zone_stats,
     "table_stats": q_table_stats,
+    "cell_autocorr": q_cell_autocorr,
+    "events_ntile": q_events_ntile,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "model_fit_loglinear": q_model_fit,
+    "idw_interp": q_idw_interp,
     "embed_neardup": q_embed_neardup,
     "pack_chunks": q_pack_chunks,
     "tpch_revenue_nation": q_tpch_revenue_nation,
@@ -3434,4 +3523,6 @@ ORACLES = {
     "rolling_mean": _ROLLING_MEAN_SQL,
     "zone_stats": _zone_stats_sql(),
     "table_stats": _TABLE_STATS_SQL,
+    "cell_autocorr": _CELL_AUTOCORR_SQL,
+    "events_ntile": _EVENTS_NTILE_SQL,
 }

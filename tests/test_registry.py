@@ -34,6 +34,7 @@ ROTATED_IN_R6 = {
     "regrid_bilinear", "climatology_anomaly", "geo_radius",
     "events_sessions_swin", "terrain_slope",
     "events_pivot", "rolling_mean", "zone_stats", "table_stats",
+    "cell_autocorr", "events_ntile",
 }
 
 
