@@ -280,9 +280,14 @@ def bilinear_regrid(
         .drop("_c")
         .filter(F.col("w") != 0.0)  # exact: dyadic weights
     )
+    # round, not a truncating cast: with non-dyadic spacing
+    # (lat-lat0)/dlat can land at k-ulp (e.g. 2.9999999999999996 for
+    # dlat=0.1) and truncation would file the whole grid row under the
+    # wrong index; grid points are nearest-integer by construction,
+    # and the oracle twin uses round() too
     s = sources.select(
-        ((F.col(s_lat) - F.lit(lat0)) / F.lit(dlat)).cast("long").alias("yi"),
-        ((F.col(s_lon) - F.lit(lon0)) / F.lit(dlon)).cast("long").alias("xi"),
+        F.round((F.col(s_lat) - F.lit(lat0)) / F.lit(dlat)).cast("long").alias("yi"),
+        F.round((F.col(s_lon) - F.lit(lon0)) / F.lit(dlon)).cast("long").alias("xi"),
         *value_cols,
     )
     joined = t.join(s, ["yi", "xi"])

@@ -122,6 +122,21 @@ def write_spatial_sorted(
     w.parquet(path)
 
 
+def _parquet_files(path: str) -> list[str]:
+    """Every parquet data file under ``path``, recursively — a
+    Hive-partitioned tree (``day=1/part-*.parquet``) keeps its files
+    below subdirectories, so a top-level glob would see none of them
+    and size estimates would silently collapse to zero."""
+    import glob
+    import os
+
+    if not os.path.isdir(path):
+        return [path]
+    return sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+
+
 def compact_spatial(
     spark,
     path: str,
@@ -148,15 +163,10 @@ def compact_spatial(
     per partition-directory (e.g. per day) so each compaction touches
     only new data.
     """
-    import glob
     import math
     import os
 
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    files = _parquet_files(path)
     bytes_in = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(bytes_in / target_file_bytes))
     df = spark.read.parquet(path)
@@ -184,16 +194,9 @@ def rowgroup_prune_stats(
 
     Returns {touched, total, rows_touched, rows_total}.
     """
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    files = _parquet_files(path)
     touched = total = rows_touched = rows_total = 0
     (lat_lo, lat_hi), (lon_lo, lon_hi) = lat_range, lon_range
     for f in files:
@@ -205,8 +208,11 @@ def rowgroup_prune_stats(
             total += 1
             rows_total += rg.num_rows
             slat, slon = rg.column(li).statistics, rg.column(lo_).statistics
-            if slat is None or slon is None:
-                touched += 1  # no stats → must read
+            if (
+                slat is None or slon is None
+                or not slat.has_min_max or not slon.has_min_max
+            ):
+                touched += 1  # no usable stats (e.g. all-NULL) → must read
                 rows_touched += rg.num_rows
                 continue
             hit = not (

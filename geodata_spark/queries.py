@@ -1378,16 +1378,14 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, types)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
     )
-    named = out.select(
-        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in types],
+        F.coalesce(F.col("purchase_s"), F.lit(0.0)).alias("purchase_value"),
     )
-    spend = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
-        F.col("event_type") == "purchase"
-    ).groupBy("user_id").agg(F.sum("value").alias("purchase_value"))
-    return named.join(spend, "user_id", "left").na.fill({"purchase_value": 0.0})
 
 
 _EVENTS_PIVOT_SQL = """

@@ -243,18 +243,37 @@ def merge_upsert(
     same plan becomes ``MERGE INTO`` against snapshot isolation; this
     path-based variant is transactional only per partition directory
     (the fallback contract write_table documents).
+
+    CONTRACT: ``partition_col`` must be functionally determined by
+    ``key_cols`` (the standard partitioned-upsert rule — Hudi/Delta
+    call it a stable record-key→partition-path mapping).  If an
+    update moves a key to a different partition value, the old
+    partition is not read, so the key's stale row there survives as a
+    duplicate.  Cross-partition moves need a delete in the old
+    partition first.
     """
     from pyspark.sql import functions as F
 
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     data_cols = [c for c in updates.columns if c not in (partition_col, seq_col)]
+    from pyspark.errors import AnalysisException
+
+    # Only the READ sits in the try: a select/union failure (schema
+    # drift between target and updates) must propagate — treating it
+    # as "first merge" would overwrite touched partitions with
+    # updates-only rows and silently drop every pre-existing key.
     try:
-        target = spark.read.parquet(target_path).filter(
-            F.col(partition_col).isin(parts)
-        )
-        merged = target.select(updates.columns).unionByName(updates)
-    except Exception:  # first merge: target does not exist yet
+        target = spark.read.parquet(target_path)
+    except AnalysisException:  # first merge: target does not exist yet
+        target = None
+    if target is None:
         merged = updates
+    else:
+        merged = (
+            target.filter(F.col(partition_col).isin(parts))
+            .select(updates.columns)
+            .unionByName(updates)
+        )
     ordered = [seq_col] + [c for c in data_cols if c not in key_cols]
     surv = merged.groupBy(partition_col, *key_cols).agg(
         F.max(F.struct(*ordered)).alias("_s")
@@ -262,10 +281,13 @@ def merge_upsert(
     out = surv.select(
         partition_col, *key_cols, *[F.col(f"_s.{c}") for c in ordered]
     ).select(updates.columns)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write option, NOT the session conf: scoping dynamic mode to
+    # this writer cannot leak into (or be clobbered by) concurrent
+    # writes in the same session
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
     return {"touched_partitions": sorted(parts), "n_touched": len(parts)}
