@@ -201,3 +201,71 @@ def stratified_sample_sql(
         for name, pct in sorted(rates_pct.items())
     )
     return f"({b} < (CASE {cases} ELSE {int(default_pct)} END))"
+
+
+def chunk_docs(
+    docs: DataFrame,
+    width: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-width character chunking — the RAG / context-
+    window prep step that cuts each document into ``width``-char
+    windows every ``stride`` chars (``width - stride`` chars of
+    overlap), KEEPING the document intact per row group.
+
+    Contrast with :func:`pack_chunks` (cross-document concat-and-cut
+    packing for pretraining): chunking is per-document, so it is a
+    pure scan-stage ``explode`` — no shuffle, no window, no state;
+    chunk count per row is ``ceil(len / stride)`` and the explode
+    fan-out streams through whole-stage codegen.  At 100 TB this is
+    embarrassingly parallel and the output partitioning inherits the
+    input's (reference analog: the per-document span/segment handling
+    around spans in the corpus model; chunk boundaries here are
+    byte-deterministic so retries and engines agree bit-for-bit).
+
+    Output: one row per (doc, chunk) with 1-based ``start``,
+    ``chunk_idx = (start-1) // stride``, the chunk text and its length.
+    Empty documents produce one empty chunk (chunk_idx 0) so no doc_id
+    silently vanishes from the output.
+    """
+    if stride <= 0 or width <= 0:
+        raise ValueError("width and stride must be positive")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)), F.lit(stride)
+    )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col, text_col)
+        .withColumn("start", F.explode(starts))
+        .select(
+            F.col(id_col),
+            ((F.col("start") - 1) / F.lit(stride)).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start"),
+            F.expr(f"substring({text_col}, start, {int(width)})").alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )
+
+
+def chunk_docs_sql(
+    width: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`chunk_docs` (generate_series is inclusive
+    of the stop bound, matching Spark's ``sequence``)."""
+    w, s = int(width), int(stride)
+    return f"""
+SELECT {id_col},
+       CAST((g.start - 1) / {s} AS BIGINT) AS chunk_idx,
+       CAST(g.start AS BIGINT) AS start,
+       substring({text_col}, g.start, {w}) AS chunk,
+       CAST(length(substring({text_col}, g.start, {w})) AS BIGINT) AS chunk_len
+FROM {table},
+     unnest(generate_series(1, greatest(length({text_col}), 1), {s})) AS g(start)
+WHERE {text_col} IS NOT NULL
+"""

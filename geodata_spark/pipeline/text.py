@@ -259,3 +259,64 @@ scored AS (
 SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score
 FROM scored WHERE rnk <= {int(top_k)}
 """
+
+
+def top_bigrams(
+    docs: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word bigrams — the n-gram frequency scan a
+    corpus-analysis pass runs for boilerplate detection and
+    contamination screening (same tokenizer as :func:`tfidf_top_terms`:
+    lowercase alphanumeric runs).
+
+    Scale shape: bigrams are formed ARRAY-SIDE with ``zip_with`` over
+    two shifted slices of the token array — per-row, inside codegen, no
+    positional self-join and no window.  After the (bigram, count) hash
+    agg (map-side partial), the global top-k is ``ORDER BY … LIMIT k``,
+    which Spark plans as TakeOrderedAndProject: each partition keeps
+    its local k, the driver merges k·p rows — never a single-partition
+    global sort (the classic corpus-scale trap a rank-window here would
+    create).  Ties break on the bigram text, so the cutoff row is
+    deterministic in both engines.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    d = docs.filter(F.col(text_col).isNotNull()).select(toks.alias("l"))
+    pairs = F.when(
+        F.size("l") >= 2,
+        F.zip_with(
+            F.slice("l", 1, F.size("l") - 1),
+            F.slice("l", 2, F.size("l") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(int(top_k))
+    )
+
+
+def top_bigrams_sql(
+    top_k: int = 20, text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`top_bigrams` (adjacent-pair join via a
+    per-row index series over the token list)."""
+    return f"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+b AS (
+  SELECT l[g.i] || ' ' || l[g.i + 1] AS bigram
+  FROM t, unnest(generate_series(1, len(l) - 1, 1)) AS g(i)
+)
+SELECT bigram, count(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {int(top_k)}
+"""

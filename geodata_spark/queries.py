@@ -3311,6 +3311,227 @@ GROUP BY 1
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking of the documents table — RAG /
+    context-window prep (pipeline.packing.chunk_docs: pure scan-stage
+    explode, no shuffle; chunk boundaries byte-deterministic).  width
+    200 / stride 150 ⇒ 50 chars of overlap between adjacent chunks."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return PK.chunk_docs(docs, width=200, stride=150)
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (pipeline.text.top_bigrams) —
+    bigrams built array-side with zip_with (no positional self-join),
+    global top-k planned as TakeOrderedAndProject, never a
+    single-partition rank window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.top_bigrams(docs, top_k=20)
+
+
+def q_cell_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell robust outlier screen — median + MAD (median absolute
+    deviation), then count of |x − med| > 3·MAD: the QA pass a gridded
+    archive runs to flag sensor glitches, robust where mean/stddev is
+    dragged by the outliers themselves.  EXACT oracle: Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate
+    identically (pinned by doc_quantiles), the 48-value groups are
+    dyadic so the midpoint average is exact, and 3·MAD is one IEEE
+    multiply in both engines.  Scale shape: WINDOW-form percentiles,
+    not agg-and-join-back — med and mad are whole-partition window
+    aggregates over the same (lat, lon) partitioning the final agg
+    uses, so the entire query is ONE Exchange (the naive
+    agg → join → agg → join formulation re-derives the deviation
+    subtree on both sides of the join: 8 Exchanges and two scans);
+    exact percentile buffers ONE CELL's 48 values, not the table
+    (contrast doc_quantiles' corpus-wide note)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lat", "lon")
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    d = (
+        gv.withColumn(
+            "med", F.percentile(F.col("temperature"), F.lit(0.5)).over(w)
+        )
+        .withColumn("adev", F.abs(F.col("temperature") - F.col("med")))
+        .withColumn("mad", F.percentile(F.col("adev"), F.lit(0.5)).over(w))
+    )
+    return d.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("adev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+        ).cast("long").alias("n_out"),
+    )
+
+
+_CELL_MAD_SQL = f"""
+WITH {_GV_CTE},
+med AS (
+  SELECT lat, lon, quantile_cont(temperature, 0.5) AS med
+  FROM gridv GROUP BY lat, lon
+),
+dev AS (
+  SELECT g.lat, g.lon, m.med, abs(g.temperature - m.med) AS adev
+  FROM gridv g JOIN med m USING (lat, lon)
+),
+madt AS (
+  SELECT lat, lon, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY lat, lon
+)
+SELECT d.lat, d.lon, count(*) AS n, min(d.med) AS med, min(t.mad) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.0 * t.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_out
+FROM dev d JOIN madt t USING (lat, lon)
+GROUP BY d.lat, d.lon
+"""
+
+# tan(22.5°) to 17 significant digits: round-trips to the identical
+# IEEE double in Spark and DuckDB, so the octant boundaries below are
+# the same bit pattern in both engines — classification needs no trig
+_TAN_22_5 = "0.41421356237309503"
+
+
+def _aspect_sector():
+    t = F.lit(float(_TAN_22_5))
+    dx, dy = F.col("dzdx"), F.col("dzdy")
+    ax, ay = F.abs(dx), F.abs(dy)
+    return (
+        F.when((dx == 0.0) & (dy == 0.0), "flat")
+        .when(ay <= ax * t, F.when(dx > 0.0, F.lit("E")).otherwise(F.lit("W")))
+        .when(ax <= ay * t, F.when(dy > 0.0, F.lit("N")).otherwise(F.lit("S")))
+        .when((dx > 0.0) & (dy > 0.0), "NE")
+        .when((dx < 0.0) & (dy > 0.0), "NW")
+        .when((dx > 0.0) & (dy < 0.0), "SE")
+        .otherwise("SW")
+    )
+
+
+def q_terrain_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEM → aspect, classified into the 8 compass octants of the
+    gradient vector (reference derives aspect alongside slope in its
+    suitability workflow, docs/source/mask/mask_creation_workflow.ipynb
+    — there as a pre-rendered raster; here from elevation).  NO TRIG:
+    the 22.5° octant boundaries are |dy| ≶ |dx|·tan22.5° sign/ratio
+    comparisons on dyadic finite differences — one shared literal for
+    the tangent makes every comparison bit-identical across engines,
+    where an atan2 would drag libm ULP differences into the compare.
+    Same two-window gradient as terrain_slope; classification is pure
+    codegen CASE."""
+    from geodata_spark import masks
+    from geodata_spark.synth import synth_mask_layers
+
+    elev = synth_mask_layers(spark).filter(F.col("layer") == "elevation")
+    out = masks.slope_finite_diff(elev)
+    return (
+        out.filter(F.col("dzdx").isNotNull() & F.col("dzdy").isNotNull())
+        .select(
+            F.col("y_idx").cast("long").alias("y_idx"),
+            F.col("x_idx").cast("long").alias("x_idx"),
+            "dzdx",
+            "dzdy",
+            _aspect_sector().alias("sector"),
+        )
+    )
+
+
+def _terrain_aspect_sql() -> str:
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+    return f"""
+WITH {mask_layers_sql_cte()},
+elev AS (
+  SELECT CAST(round((lat - {LAT0!r}) / {DLAT!r}) AS BIGINT) AS y_idx,
+         CAST(round((lon - {LON0!r}) / {DLON!r}) AS BIGINT) AS x_idx,
+         value
+  FROM maskl WHERE layer = 'elevation'
+),
+d AS (
+  SELECT y_idx, x_idx,
+         CASE WHEN x_idx - lag(x_idx) OVER wx = 1
+                   AND lead(x_idx) OVER wx - x_idx = 1
+              THEN (lead(value) OVER wx - lag(value) OVER wx) / 2.0 END AS dzdx,
+         CASE WHEN y_idx - lag(y_idx) OVER wy = 1
+                   AND lead(y_idx) OVER wy - y_idx = 1
+              THEN (lead(value) OVER wy - lag(value) OVER wy) / 2.0 END AS dzdy
+  FROM elev
+  WINDOW wx AS (PARTITION BY y_idx ORDER BY x_idx),
+         wy AS (PARTITION BY x_idx ORDER BY y_idx)
+)
+SELECT y_idx, x_idx, dzdx, dzdy,
+       CASE
+         WHEN dzdx = 0.0 AND dzdy = 0.0 THEN 'flat'
+         WHEN abs(dzdy) <= abs(dzdx) * {_TAN_22_5}
+           THEN CASE WHEN dzdx > 0.0 THEN 'E' ELSE 'W' END
+         WHEN abs(dzdx) <= abs(dzdy) * {_TAN_22_5}
+           THEN CASE WHEN dzdy > 0.0 THEN 'N' ELSE 'S' END
+         WHEN dzdx > 0.0 AND dzdy > 0.0 THEN 'NE'
+         WHEN dzdx < 0.0 AND dzdy > 0.0 THEN 'NW'
+         WHEN dzdx > 0.0 AND dzdy < 0.0 THEN 'SE'
+         ELSE 'SW'
+       END AS sector
+FROM d WHERE dzdx IS NOT NULL AND dzdy IS NOT NULL
+"""
+
+
+def q_cell_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell exponentially weighted moving average, α = 1/2,
+    truncated at depth 4 — the smoothing pass a nowcasting feed applies
+    per grid cell.  Weights 8/4/2/1 are dyadic and the numerator/
+    denominator sums of dyadic values are EXACT; the single final
+    division is the only rounding and is identical in both engines, so
+    the oracle is bit-exact with no tolerance.  Early rows renormalize
+    over the lags that exist (weight mass drops out with the missing
+    lag) rather than leaking NULL or zero-padding bias.  One lag window
+    per cell — same shuffle shape as cell_autocorr."""
+    from pyspark.sql.window import Window
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    w = Window.partitionBy("lat", "lon").orderBy("hour")
+    x = F.col("temperature")
+    l1, l2, l3 = (F.lag("temperature", k).over(w) for k in (1, 2, 3))
+    p = gv.select("hour", "lat", "lon", "temperature",
+                  l1.alias("l1"), l2.alias("l2"), l3.alias("l3"))
+    num = (
+        F.lit(8.0) * x
+        + F.coalesce(F.lit(4.0) * F.col("l1"), F.lit(0.0))
+        + F.coalesce(F.lit(2.0) * F.col("l2"), F.lit(0.0))
+        + F.coalesce(F.col("l3"), F.lit(0.0))
+    )
+    den = (
+        F.lit(8.0)
+        + F.when(F.col("l1").isNotNull(), 4.0).otherwise(0.0)
+        + F.when(F.col("l2").isNotNull(), 2.0).otherwise(0.0)
+        + F.when(F.col("l3").isNotNull(), 1.0).otherwise(0.0)
+    )
+    return p.select(
+        "hour", "lat", "lon", "temperature", (num / den).alias("ewma4")
+    )
+
+
+_CELL_EWMA_SQL = f"""
+WITH {_GV_CTE},
+p AS (
+  SELECT hour, lat, lon, temperature,
+         lag(temperature, 1) OVER w AS l1,
+         lag(temperature, 2) OVER w AS l2,
+         lag(temperature, 3) OVER w AS l3
+  FROM gridv
+  WINDOW w AS (PARTITION BY lat, lon ORDER BY hour)
+)
+SELECT hour, lat, lon, temperature,
+       (8.0 * temperature
+        + coalesce(4.0 * l1, 0.0)
+        + coalesce(2.0 * l2, 0.0)
+        + coalesce(l3, 0.0))
+       / (8.0 + CASE WHEN l1 IS NOT NULL THEN 4.0 ELSE 0.0 END
+              + CASE WHEN l2 IS NOT NULL THEN 2.0 ELSE 0.0 END
+              + CASE WHEN l3 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS ewma4
+FROM p
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -3338,14 +3559,9 @@ QUERIES = {
     "spline_profile": q_spline_profile,
     "doc_quantiles": q_doc_quantiles,
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
-    "sql_tpch_pricing": q_sql_tpch_pricing,
-    "sql_text_stats": q_sql_text_stats,
-    "sql_events_topk": q_sql_events_topk,
-    "sql_grid_reduce": q_sql_grid_reduce,
     "media_dedup": q_media_dedup,
     "media_text_match": q_media_text_match,
     "plot_timeseries": q_plot_timeseries,
-    "plot_heatmap": q_plot_heatmap,
     "events_topk_twophase": q_events_topk_twophase,
     "cell_cumsum_twophase": q_cell_cumsum,
     "events_asof": q_events_asof,
@@ -3374,8 +3590,24 @@ QUERIES = {
     "table_stats": q_table_stats,
     "cell_autocorr": q_cell_autocorr,
     "events_ntile": q_events_ntile,
+    # new round 6 (late batch): overlapping doc chunking, corpus
+    # bigrams, robust per-cell outliers, trig-free aspect octants,
+    # truncated dyadic EWMA — displacing sql_tpch_pricing /
+    # sql_text_stats / sql_events_topk / sql_grid_reduce /
+    # plot_heatmap (green r05; sql_zonal_daily_wavg and
+    # plot_timeseries keep those families in-window)
+    "doc_chunks": q_doc_chunks,
+    "top_bigrams": q_top_bigrams,
+    "cell_mad_outliers": q_cell_mad_outliers,
+    "terrain_aspect": q_terrain_aspect,
+    "cell_ewma": q_cell_ewma,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "sql_tpch_pricing": q_sql_tpch_pricing,
+    "sql_text_stats": q_sql_text_stats,
+    "sql_events_topk": q_sql_events_topk,
+    "sql_grid_reduce": q_sql_grid_reduce,
+    "plot_heatmap": q_plot_heatmap,
     "model_fit_loglinear": q_model_fit,
     "idw_interp": q_idw_interp,
     "embed_neardup": q_embed_neardup,
@@ -3523,4 +3755,9 @@ ORACLES = {
     "table_stats": _TABLE_STATS_SQL,
     "cell_autocorr": _CELL_AUTOCORR_SQL,
     "events_ntile": _EVENTS_NTILE_SQL,
+    "doc_chunks": PK.chunk_docs_sql(width=200, stride=150),
+    "top_bigrams": TX.top_bigrams_sql(top_k=20),
+    "cell_mad_outliers": _CELL_MAD_SQL,
+    "terrain_aspect": _terrain_aspect_sql(),
+    "cell_ewma": _CELL_EWMA_SQL,
 }

@@ -264,3 +264,23 @@ def test_slope_finite_diff_matches_numpy(spark):
     assert np.isnan(oh.loc[(hy - 1, hx)].dzdy) and np.isnan(oh.loc[(hy + 1, hx)].dzdy)
     # cells two away are unaffected (guard is adjacency, not presence)
     assert oh.loc[(hy, hx - 2)].dzdx == out.set_index(["y_idx", "x_idx"]).loc[(hy, hx - 2)].dzdx
+
+
+def test_aspect_octant_classifier(spark):
+    """Pin the trig-free octant rule on hand vectors, including the
+    22.5-degree boundary side (|dy| = 0.25 stays E, 0.5 crosses to
+    NE for dx = 1)."""
+    from geodata_spark.queries import _aspect_sector
+
+    cases = [
+        (1.0, 0.0, "E"), (-1.0, 0.0, "W"), (0.0, 1.0, "N"), (0.0, -1.0, "S"),
+        (1.0, 1.0, "NE"), (-1.0, 1.0, "NW"), (1.0, -1.0, "SE"),
+        (-1.0, -1.0, "SW"), (0.0, 0.0, "flat"),
+        (1.0, 0.25, "E"), (1.0, 0.5, "NE"),
+        (0.25, -1.0, "S"), (-0.5, -1.0, "SW"),
+    ]
+    df = spark.createDataFrame(
+        [(dx, dy) for dx, dy, _ in cases], "dzdx double, dzdy double"
+    )
+    got = [r.sector for r in df.select(_aspect_sector().alias("sector")).collect()]
+    assert got == [s for _, _, s in cases]

@@ -561,3 +561,54 @@ def test_tfidf_top_terms_semantics(spark):
     # d1: banana 2*2.0 = 4.0, then the apple/common 2.0 tie term-asc
     assert top["d1"] == ["banana", "apple"]
     assert all(r["rnk"] <= 2 for r in rows)
+
+
+def test_chunk_docs_edges_and_overlap(spark):
+    from geodata_spark.pipeline import packing as PK
+
+    rows = [
+        (1, "a" * 10),           # shorter than width: one chunk
+        (2, "x" * 200),          # exactly width: chunks at 1 and 151
+        (3, ""),                 # empty doc: one empty chunk, not dropped
+        (4, "ab" * 175),         # 350 chars: starts 1, 151, 301
+        (5, None),               # NULL text filtered, no explode blowup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = PK.chunk_docs(df, width=200, stride=150)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4}
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk == "a" * 10
+    assert [c.start for c in sorted(by_doc[2], key=lambda c: c.start)] == [1, 151]
+    assert by_doc[3][0].chunk == "" and by_doc[3][0].chunk_len == 0
+    c4 = sorted(by_doc[4], key=lambda c: c.start)
+    assert [c.start for c in c4] == [1, 151, 301]
+    assert [c.chunk_idx for c in c4] == [0, 1, 2]
+    # overlap invariant: chunk i's last (width - stride) chars prefix
+    # chunk i+1 (both read the same source bytes)
+    for a, b in zip(c4, c4[1:]):
+        assert a.chunk[150:] == b.chunk[: len(a.chunk) - 150]
+    # reconstruction: stride-prefixes concatenated + last chunk == doc
+    text4 = "ab" * 175
+    rebuilt = "".join(c.chunk[:150] for c in c4[:-1]) + c4[-1].chunk
+    assert rebuilt == text4
+
+
+def test_top_bigrams_semantics_and_plan(spark):
+    rows = [
+        (1, "the cat sat"),            # "the cat", "cat sat"
+        (2, "THE cat!"),               # normalizes to "the cat"
+        (3, "single"),                 # no bigram
+        (4, ""),                       # no tokens
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.top_bigrams(df, top_k=10)
+    got = {(r.bigram, r.n) for r in out.collect()}
+    assert got == {("the cat", 2), ("cat sat", 1)}
+    # scale shape: global top-k must plan as TakeOrderedAndProject,
+    # never a single-partition rank window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

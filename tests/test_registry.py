@@ -35,6 +35,8 @@ ROTATED_IN_R6 = {
     "events_sessions_swin", "terrain_slope",
     "events_pivot", "rolling_mean", "zone_stats", "table_stats",
     "cell_autocorr", "events_ntile",
+    "doc_chunks", "top_bigrams", "cell_mad_outliers",
+    "terrain_aspect", "cell_ewma",
 }
 
 
