@@ -219,6 +219,73 @@ def radius_join(
     )
 
 
+def haversine_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle distance in km as engine-neutral SQL text (one
+    string feeds both Catalyst ``F.expr`` and the DuckDB oracle — the
+    formulas.py pattern).  ``pow`` is avoided (an extra libm call):
+    squares are spelled as products; ``least(1.0, …)`` guards the asin
+    domain against rounding at antipodal inputs.  sin/cos/asin are
+    libm, the one cross-engine ULP source — callers round the result
+    (6 dp) before comparing or filtering, like the spherical
+    cell-area oracle."""
+    from geodata_spark.zonal import EARTH_R_KM
+
+    sy = f"sin(radians(({lat2}) - ({lat1})) / 2)"
+    sx = f"sin(radians(({lon2}) - ({lon1})) / 2)"
+    h = (f"{sy} * {sy} + cos(radians({lat1})) * cos(radians({lat2}))"
+         f" * {sx} * {sx}")
+    return f"2.0 * {EARTH_R_KM!r} * asin(sqrt(least(1.0, {h})))"
+
+
+def radius_join_gc(
+    targets: DataFrame,
+    sources: DataFrame,
+    radius_km: float,
+    res: int = 7,
+    max_abs_lat: float = 60.0,
+    t_lat: str = "lat",
+    t_lon: str = "lon",
+    s_lat: str = "lat",
+    s_lon: str = "lon",
+) -> DataFrame:
+    """Great-circle (haversine) radius query: every source within
+    ``radius_km`` of each target on the sphere — the geodesic sibling
+    of :func:`radius_join` (reference buffers masks in km,
+    mask.py:557-575; here the metric is exact geodesic distance, not
+    planar degrees).
+
+    Two stages: (1) the planar ring-cell equi-join as a SUPERSET
+    prefilter.  Longitude degrees shrink by cos(lat), so a true
+    ``radius_km`` hit due east/west spans up to θ/cos(lat) planar
+    degrees — the prefilter radius is therefore
+    θ_deg / cos(max_abs_lat) · 1.05, where ``max_abs_lat`` bounds the
+    latitudes present (pass the data's actual bound to tighten the
+    ring; the 5% margin covers the ≤ p²/24 sphere-vs-plane curvature
+    excess at continental radii).  No true hit is pruned; false
+    candidates are removed by (2) the exact haversine refine, rounded
+    to 6 dp, with the radius filter applied to the ROUNDED distance so
+    both engines make identical boundary decisions.  Candidate volume
+    stays O(density·πr²/cos) — never a cross join — and only cell-id
+    keys shuffle.
+    """
+    import math
+
+    from geodata_spark.zonal import EARTH_R_KM
+
+    radius_deg = (
+        math.degrees(radius_km / EARTH_R_KM)
+        / math.cos(math.radians(max_abs_lat)) * 1.05
+    )
+    pairs = radius_join(
+        targets, sources, radius_deg, res=res,
+        t_lat=t_lat, t_lon=t_lon, s_lat=s_lat, s_lon=s_lon,
+    ).drop("dist2")
+    d = haversine_km_sql(t_lat, t_lon, f"{s_lat}_src", f"{s_lon}_src")
+    return pairs.withColumn("dist_km_r6", F.round(F.expr(d), 6)).filter(
+        F.col("dist_km_r6") <= F.lit(float(radius_km))
+    )
+
+
 def bilinear_regrid(
     targets: DataFrame,
     sources: DataFrame,

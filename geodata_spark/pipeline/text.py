@@ -320,3 +320,207 @@ FROM b GROUP BY bigram
 ORDER BY n DESC, bigram ASC
 LIMIT {int(top_k)}
 """
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition filters (the Gopher / MassiveText
+    within-document quality rules: fraction of duplicated n-grams and
+    fraction of characters inside the most frequent n-gram — Rae et
+    al. 2021, table A1), over word unigrams and bigrams.
+
+    Output per doc with ≥1 token:
+      n_words, n_dist_words, rep_word_frac = (n−distinct)/n;
+      top_word, top_word_frac = cnt·len(word)/len(text);
+      n_bigrams, n_dist_bigrams, dup_bigram_frac;
+      top_bigram, top_bigram_frac (NULLs when the doc has <2 tokens).
+    Every fraction is ONE IEEE division of exact integers, so the
+    DuckDB oracle matches bit-for-bit — no tolerance.  Ties for "most
+    frequent" break on the gram text ascending (deterministic in both
+    engines).
+
+    Scale shape: one explode per gram order tagged by ``n`` so BOTH
+    orders ride a single (doc, n, gram) map-side-combined hash agg;
+    the per-doc "top gram" is a rank window over that doc's DISTINCT
+    grams only (bounded fan-in, never corpus-wide — same shape as
+    :func:`tfidf_top_terms`); final per-doc agg is the second and last
+    shuffle.  No UDFs, no driver loops.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.length(text_col).alias("_tlen"), toks.alias("l")
+    )
+    bi = F.when(
+        F.size("l") >= 2,
+        F.zip_with(
+            F.slice("l", 1, F.size("l") - 1),
+            F.slice("l", 2, F.size("l") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        id_col, "_tlen", F.lit(1).alias("n"), F.explode("l").alias("gram")
+    ).unionByName(
+        base.select(
+            id_col, "_tlen", F.lit(2).alias("n"), F.explode(bi).alias("gram")
+        )
+    )
+    counts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("_tlen").alias("_tlen")
+    )
+    w = Window.partitionBy(id_col, "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    per = ranked.groupBy(id_col, "n").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_dist"),
+        F.min(F.when(F.col("rnk") == 1, F.col("gram"))).alias("top_gram"),
+        F.min(F.when(F.col("rnk") == 1, F.col("cnt"))).cast("long").alias("top_cnt"),
+        F.min("_tlen").alias("_tlen"),
+    )
+    uni = per.filter(F.col("n") == 1).select(
+        id_col,
+        F.col("n_grams").alias("n_words"),
+        F.col("n_dist").alias("n_dist_words"),
+        ((F.col("n_grams") - F.col("n_dist")).cast("double")
+         / F.col("n_grams").cast("double")).alias("rep_word_frac"),
+        F.col("top_gram").alias("top_word"),
+        ((F.col("top_cnt") * F.length("top_gram")).cast("double")
+         / F.col("_tlen").cast("double")).alias("top_word_frac"),
+    )
+    big = per.filter(F.col("n") == 2).select(
+        id_col,
+        F.col("n_grams").alias("n_bigrams"),
+        F.col("n_dist").alias("n_dist_bigrams"),
+        ((F.col("n_grams") - F.col("n_dist")).cast("double")
+         / F.col("n_grams").cast("double")).alias("dup_bigram_frac"),
+        F.col("top_gram").alias("top_bigram"),
+        ((F.col("top_cnt") * F.length("top_gram")).cast("double")
+         / F.col("_tlen").cast("double")).alias("top_bigram_frac"),
+    )
+    return uni.join(big, id_col, "left")
+
+
+def repetition_stats_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`repetition_stats`."""
+    return f"""
+WITH basec AS (
+  SELECT {id_col}, length({text_col}) AS tlen,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+grams AS (
+  SELECT {id_col}, tlen, 1 AS n, t.g AS gram
+  FROM basec, unnest(l) AS t(g)
+  UNION ALL
+  SELECT {id_col}, tlen, 2 AS n, l[s.i] || ' ' || l[s.i + 1] AS gram
+  FROM basec, unnest(generate_series(1, len(l) - 1, 1)) AS s(i)
+),
+counts AS (
+  SELECT {id_col}, n, gram, count(*) AS cnt, min(tlen) AS tlen
+  FROM grams GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}, n
+                               ORDER BY cnt DESC, gram ASC) AS rnk
+  FROM counts
+),
+per AS (
+  SELECT {id_col}, n,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         CAST(count(*) AS BIGINT) AS n_dist,
+         min(CASE WHEN rnk = 1 THEN gram END) AS top_gram,
+         CAST(min(CASE WHEN rnk = 1 THEN cnt END) AS BIGINT) AS top_cnt,
+         min(tlen) AS tlen
+  FROM ranked GROUP BY 1, 2
+)
+SELECT u.{id_col},
+       u.n_grams AS n_words, u.n_dist AS n_dist_words,
+       CAST(u.n_grams - u.n_dist AS DOUBLE) / CAST(u.n_grams AS DOUBLE)
+         AS rep_word_frac,
+       u.top_gram AS top_word,
+       CAST(u.top_cnt * length(u.top_gram) AS DOUBLE) / CAST(u.tlen AS DOUBLE)
+         AS top_word_frac,
+       b.n_grams AS n_bigrams, b.n_dist AS n_dist_bigrams,
+       CAST(b.n_grams - b.n_dist AS DOUBLE) / CAST(b.n_grams AS DOUBLE)
+         AS dup_bigram_frac,
+       b.top_gram AS top_bigram,
+       CAST(b.top_cnt * length(b.top_gram) AS DOUBLE) / CAST(b.tlen AS DOUBLE)
+         AS top_bigram_frac
+FROM (SELECT * FROM per WHERE n = 1) u
+LEFT JOIN (SELECT * FROM per WHERE n = 2) b USING ({id_col})
+"""
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram language model — the classic cheap perplexity-proxy
+    quality score (CCNet / Wenzek et al. 2020 use a KenLM; the unigram
+    LM is its zero-context degenerate case and needs no external
+    model).  Low ``avg_ln_p`` = rare-token-heavy doc (gibberish, OCR
+    noise); ``bits`` = total Shannon information of the doc under the
+    model.
+
+    Two passes over the token explode: (1) corpus term counts — the
+    vocabulary, tiny after aggregation, is BROADCAST back; (2) per-doc
+    sum of log p(token).  The model is corpus-derived so there are no
+    OOV tokens and no smoothing term.  ``ln``/``log2`` are libm calls
+    (the one cross-engine ULP source), so outputs are rounded to 6 dp
+    — same mitigation as the spherical cell-area oracle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    terms = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(toks).alias("term")
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).collect()[0][0]  # model size: one scalar
+    scored = terms.join(broadcast(vocab), "term").select(
+        id_col,
+        F.log(F.col("cnt").cast("double") / F.lit(float(total))).alias("lnp"),
+        F.log2(F.col("cnt").cast("double") / F.lit(float(total))).alias("l2p"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("lnp") / F.count(F.lit(1)), 6).alias("avg_ln_p"),
+        F.round(-F.sum("l2p"), 6).alias("bits"),
+    )
+
+
+def unigram_logprob_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob` (same 6-dp rounding)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, t.term AS term
+  FROM {table},
+       unnest(list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(term)
+  WHERE {text_col} IS NOT NULL
+),
+vocab AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln(CAST(cnt AS DOUBLE) / total)) / count(*), 6) AS avg_ln_p,
+       round(-sum(log2(CAST(cnt AS DOUBLE) / total)), 6) AS bits
+FROM toks JOIN vocab USING (term), tot
+GROUP BY {id_col}
+"""

@@ -3532,6 +3532,114 @@ FROM p
 """
 
 
+def q_regrid_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/A3 extension — first-order conservative (area-weighted)
+    regrid 0.5°×0.625° → 0.75°×1.0°, a NON-integer coarsening factor
+    (cutout.conservative_regrid; CDO remapcon semantics — reference
+    coarsen cutout.py:929-1001 is the integer-factor special case).
+    All edge/overlap arithmetic in integer 1/16° units ⇒ exact integer
+    weights; dyadic values ⇒ bit-exact oracle, no tolerance.  Plan:
+    scan-side ≤4× explode (no join), ONE hash agg."""
+    from geodata_spark import cutout as CU
+
+    src = _gv(spark).select("hour", "lat", "lon", "temperature", "wnd100m")
+    out = CU.conservative_regrid(
+        src, dt_lat=0.75, dt_lon=1.0,
+        value_cols=["temperature", "wnd100m"], unit=0.0625,
+    )
+    return out.select(
+        F.col("hour").cast("long").alias("hour"),
+        "jy", "jx", "lat", "lon", "w_units", "temperature", "wnd100m",
+    )
+
+
+# integer 1/16°-unit edges: sy=8 (0.5°), ty=12 (0.75°), sx=10 (0.625°),
+# tx=16 (1.0°); grid lower edges lat 18.0, lon 73.0
+_REGRID_CONS_SQL = f"""
+WITH {_GV_CTE},
+srcu AS (
+  SELECT hour, temperature, wnd100m,
+         CAST(round((lat - 18.25) / 0.5) AS BIGINT) * 8 AS ylo,
+         CAST(round((lon - 73.3125) / 0.625) AS BIGINT) * 10 AS xlo
+  FROM gridv
+),
+ex AS (
+  SELECT hour, temperature, wnd100m, ylo, xlo, jy.j AS jy, jx.j AS jx
+  FROM srcu,
+       unnest(generate_series(ylo // 12, (ylo + 7) // 12, 1)) AS jy(j),
+       unnest(generate_series(xlo // 16, (xlo + 9) // 16, 1)) AS jx(j)
+),
+wtd AS (
+  SELECT hour, jy, jx, temperature, wnd100m,
+         CAST((least(ylo + 8, (jy + 1) * 12) - greatest(ylo, jy * 12))
+            * (least(xlo + 10, (jx + 1) * 16) - greatest(xlo, jx * 16))
+            AS DOUBLE) AS w
+  FROM ex
+)
+SELECT CAST(hour AS BIGINT) AS hour, jy, jx,
+       18.0 + (jy + 0.5) * 0.75 AS lat,
+       73.0 + (jx + 0.5) * 1.0 AS lon,
+       sum(w) AS w_units,
+       sum(w * temperature) / sum(w) AS temperature,
+       sum(w * wnd100m) / sum(w) AS wnd100m
+FROM wtd GROUP BY hour, jy, jx
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText within-document repetition filters
+    (pipeline.text.repetition_stats): duplicate-unigram/-bigram
+    fractions and most-frequent-gram character coverage per doc.
+    Every fraction is one IEEE division of exact integers — bit-exact
+    oracle, no tolerance."""
+    return TX.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean token log-prob
+    under the corpus's own unigram LM (pipeline.text.unigram_logprob;
+    CCNet's KenLM filter with the context dropped).  ln/log2 are libm
+    ⇒ 6-dp rounding, the cell_area mitigation."""
+    return TX.unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_geo_radius_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic range query — every corpus geo span within 150 km
+    great-circle distance of each target (knn.radius_join_gc:
+    planar ring-cell superset prefilter + exact haversine refine on
+    the ROUNDED distance so both engines make identical boundary
+    calls).  The km-metric sibling of `geo_radius`."""
+    from geodata_spark import knn
+
+    docs = corpus(spark, sf_dir)
+    pts = spatial.parse_geo_spans(docs).select("lat", "lon", "val")
+    tgts = spark.createDataFrame(_KNN_TGTS, ["lat", "lon"])
+    hits = knn.radius_join_gc(tgts, pts, radius_km=150.0, res=7, max_abs_lat=36.0)
+    return hits.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.sum("val_src").alias("val_sum"),
+        F.min("dist_km_r6").alias("d_min"),
+    )
+
+
+def _geo_radius_gc_sql() -> str:
+    from geodata_spark.knn import haversine_km_sql
+
+    tgts = ", ".join(f"({a!r}, {b!r})" for a, b in _KNN_TGTS)
+    d = haversine_km_sql("t.lat", "t.lon", "s.lat", "s.lon")
+    return f"""
+WITH {_CORPUS_CTE},
+tgts AS (SELECT * FROM (VALUES {tgts}) t(lat, lon)),
+pairs AS (
+  SELECT t.lat, t.lon, s.val, round({d}, 6) AS dkm
+  FROM tgts t, (SELECT lat, lon, val FROM spansx WHERE kind = 'geo') s
+)
+SELECT lat, lon, count(*) AS n_in, sum(val) AS val_sum, min(dkm) AS d_min
+FROM pairs WHERE dkm <= 150.0
+GROUP BY 1, 2
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -3548,19 +3656,15 @@ QUERIES = {
     "mask_merge": q_mask_merge,
     "text_stats": q_text_stats,
     "exact_dedup": q_exact_dedup,
-    "minhash_lsh_dedup": q_minhash_dedup,
-    "tpch_pricing_summary": q_tpch_pricing,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
-    "ann_lsh_topk": q_ann_lsh_topk,
     "multifile_merge": q_multifile_merge,
     "wind_power_smoothed": q_wind_power_smoothed,
     "spline_profile": q_spline_profile,
     "doc_quantiles": q_doc_quantiles,
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
     "media_dedup": q_media_dedup,
-    "media_text_match": q_media_text_match,
     "plot_timeseries": q_plot_timeseries,
     "events_topk_twophase": q_events_topk_twophase,
     "cell_cumsum_twophase": q_cell_cumsum,
@@ -3601,8 +3705,23 @@ QUERIES = {
     "cell_mad_outliers": q_cell_mad_outliers,
     "terrain_aspect": q_terrain_aspect,
     "cell_ewma": q_cell_ewma,
+    # new round 6 (final batch): non-integer-factor conservative
+    # regrid, Gopher repetition filters, unigram-LM quality score,
+    # geodesic radius query — displacing minhash_lsh_dedup /
+    # tpch_pricing_summary / ann_lsh_topk / media_text_match (green
+    # r01-r05; exact_dedup+dedup_clusters, tpch_bigjoin_revenue,
+    # ann_ivf_topk, media_features+media_dedup keep those families
+    # in-window)
+    "regrid_conservative": q_regrid_conservative,
+    "doc_repetition": q_doc_repetition,
+    "unigram_logprob": q_unigram_logprob,
+    "geo_radius_gc": q_geo_radius_gc,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "minhash_lsh_dedup": q_minhash_dedup,
+    "tpch_pricing_summary": q_tpch_pricing,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "media_text_match": q_media_text_match,
     "sql_tpch_pricing": q_sql_tpch_pricing,
     "sql_text_stats": q_sql_text_stats,
     "sql_events_topk": q_sql_events_topk,
@@ -3760,4 +3879,8 @@ ORACLES = {
     "cell_mad_outliers": _CELL_MAD_SQL,
     "terrain_aspect": _terrain_aspect_sql(),
     "cell_ewma": _CELL_EWMA_SQL,
+    "regrid_conservative": _REGRID_CONS_SQL,
+    "doc_repetition": TX.repetition_stats_sql(),
+    "unigram_logprob": TX.unigram_logprob_sql(),
+    "geo_radius_gc": _geo_radius_gc_sql(),
 }

@@ -189,3 +189,94 @@ def test_climatology_anomaly_window(spark):
     m = g.temperature.mean()
     c = g.temperature_clim.first()
     assert (m == c).all()                          # n=2 -> exact mean
+
+
+def test_conservative_regrid_numpy_and_conservation(spark):
+    """Non-integer-factor (1.5×, 1.6×) conservative regrid: weights
+    from a numpy reconstruction of the overlap algebra match, the
+    GLOBAL weighted sum is conserved exactly (the operator's defining
+    property), and the plan is join-free (scan-side explode + one
+    agg)."""
+    import numpy as np
+
+    from geodata_spark.cutout import conservative_regrid
+
+    gv = synth_grid_vars(spark, nhours=1, ny=6, nx=5, variables=("temperature",))
+    out = conservative_regrid(
+        gv, dt_lat=0.75, dt_lon=1.0, value_cols=["temperature"], unit=0.0625
+    )
+    # scale shape: no join anywhere, exactly one shuffle (checked
+    # pre-execution — the post-AQE string prints the Exchange twice,
+    # once per final/initial plan section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange") == 1
+    pdf = out.toPandas().set_index(["jy", "jx"]).sort_index()
+    src = gv.toPandas()
+
+    # numpy twin: integer-unit overlap weights (sy=8, ty=12, sx=10, tx=16)
+    acc: dict[tuple[int, int], list[float]] = {}
+    for r in src.itertuples():
+        iy = round((r.lat - 18.25) / 0.5)
+        ix = round((r.lon - 73.3125) / 0.625)
+        ylo, xlo = iy * 8, ix * 10
+        for jy in range(ylo // 12, (ylo + 7) // 12 + 1):
+            wy = min(ylo + 8, (jy + 1) * 12) - max(ylo, jy * 12)
+            for jx in range(xlo // 16, (xlo + 9) // 16 + 1):
+                wx = min(xlo + 10, (jx + 1) * 16) - max(xlo, jx * 16)
+                s = acc.setdefault((jy, jx), [0.0, 0.0])
+                s[0] += wy * wx
+                s[1] += wy * wx * r.temperature
+    assert set(pdf.index) == set(acc)
+    for (jy, jx), (w, sv) in acc.items():
+        row = pdf.loc[(jy, jx)]
+        assert row.w_units == w
+        assert row.temperature == sv / w          # bit-exact: same single division
+    # conservation: total weighted mass is preserved exactly (dyadic)
+    assert pdf.w_units.sum() == 6 * 5 * 8 * 10
+    assert (pdf.w_units * pdf.temperature).sum() == src.temperature.sum() * 80.0
+    # target centers land on the coarse lattice
+    assert np.allclose(sorted(pdf.lat.unique()), 18.375 + 0.75 * np.arange(4))
+
+
+def test_radius_join_gc_vs_brute_force(spark):
+    """Haversine radius query equals the brute-force cross-join
+    answer — proves the cos(lat)-widened planar prefilter is a true
+    superset (a pure-planar prefilter FAILS this at 150 km: an
+    east-west hit at lat 24° spans radius/cos(24°) planar degrees)."""
+    import math
+
+    from geodata_spark.knn import radius_join_gc
+    from geodata_spark.zonal import EARTH_R_KM
+
+    def hav_km(lat1, lon1, lat2, lon2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dphi, dlam = p2 - p1, math.radians(lon2 - lon1)
+        h = math.sin(dphi / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dlam / 2) ** 2
+        return 2 * EARTH_R_KM * math.asin(math.sqrt(min(1.0, h)))
+
+    tgt = [(24.0, 80.0)]
+    # ring of sources straddling the 150 km boundary in all directions,
+    # including the due-east points a planar prefilter would prune
+    srcs = [
+        (24.0 + dlat, 80.0 + dlon)
+        for dlat in (-1.5, -1.4, -0.5, 0.0, 0.5, 1.3, 1.5)
+        for dlon in (-1.6, -1.45, -0.7, 0.0, 0.7, 1.45, 1.6)
+    ]
+    t = spark.createDataFrame(tgt, ["lat", "lon"])
+    s = spark.createDataFrame(srcs, ["lat", "lon"])
+    got = {
+        (r.lat_src, r.lon_src): r.dist_km_r6
+        for r in radius_join_gc(t, s, radius_km=150.0, res=7, max_abs_lat=26.0).collect()
+    }
+    want = {
+        (la, lo): round(hav_km(24.0, 80.0, la, lo), 6)
+        for la, lo in srcs
+        if round(hav_km(24.0, 80.0, la, lo), 6) <= 150.0
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6             # same formula, libm ulps only
+    # the boundary cases actually exercise both sides of the cut
+    assert 0 < len(want) < len(srcs)
+    # due-east 1.45-deg hit exists: planar dist 1.45 > angular radius 1.35
+    assert (24.0, 81.45) in want

@@ -612,3 +612,51 @@ def test_top_bigrams_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_repetition_stats_semantics(spark):
+    rows = [
+        # "a a a b": words 4/dist 2 -> rep 0.5; top word "a" cnt 3,
+        # len 1 -> 3/7 of text; bigrams [a a, a a, a b]: 3/dist 2 ->
+        # dup 1/3; top "a a" cnt 2, len 3 -> 6/7
+        (1, "a a a b"),
+        (2, "unique words only here"),   # rep 0, dup 0
+        (3, "solo"),                      # 1 token: bigram side NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_dist_words) == (4, 2)
+    assert r1.rep_word_frac == 0.5
+    assert r1.top_word == "a" and r1.top_word_frac == 3 / 7
+    assert (r1.n_bigrams, r1.n_dist_bigrams) == (3, 2)
+    assert r1.dup_bigram_frac == 1 / 3
+    assert r1.top_bigram == "a a" and r1.top_bigram_frac == 6 / 7
+    r2 = out[2]
+    assert r2.rep_word_frac == 0.0 and r2.dup_bigram_frac == 0.0
+    # tie at cnt=1 everywhere -> lexicographically first gram wins
+    assert r2.top_word == min("unique words only here".split())
+    r3 = out[3]
+    assert r3.n_words == 1 and r3.n_bigrams is None and r3.top_bigram is None
+
+
+def test_unigram_logprob_uniform_and_weighted(spark):
+    import math
+
+    # corpus: 4 'x', 4 'y' -> p = 0.5 each; doc 1 all-x, doc 2 mixed
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "y y y x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in TX.unigram_logprob(df).collect()}
+    for d in (1, 2):
+        assert out[d].n_tokens == 4
+        assert out[d].avg_ln_p == round(math.log(0.5), 6)
+        assert out[d].bits == 4.0           # 1 bit/token, exact in log2
+    # rare token drags the score down
+    df2 = spark.createDataFrame(
+        [(1, "common common common"), (2, "common common rare")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in TX.unigram_logprob(df2).collect()}
+    assert out2[2].avg_ln_p < out2[1].avg_ln_p
+    assert out2[1].avg_ln_p == round(math.log(5 / 6), 6)

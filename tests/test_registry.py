@@ -37,6 +37,8 @@ ROTATED_IN_R6 = {
     "cell_autocorr", "events_ntile",
     "doc_chunks", "top_bigrams", "cell_mad_outliers",
     "terrain_aspect", "cell_ewma",
+    "regrid_conservative", "doc_repetition", "unigram_logprob",
+    "geo_radius_gc",
 }
 
 
