@@ -1,0 +1,168 @@
+"""Spatial statistics over the regular grid: semivariogram, Moran's I.
+
+The classic geostatistics pre-analysis pair a gridded-weather user
+runs before kriging / interpolation quality decisions (the reference
+exposes the raw grids and leaves this to xarray users; here they are
+first-class distributed operators).  Both are built WITHOUT pair
+joins: adjacent/lagged pairs come from ``lead`` windows along each
+grid axis, so the only shuffles are the two axis-ordered window
+exchanges — the same plan shape as masks.slope_finite_diff (central
+differences), generalized to lag h.
+
+Exactness: grid values are dyadic (synth.py), so squared differences,
+pair products and all their sums are exact in IEEE doubles regardless
+of aggregation order; the semivariogram's single final division is
+bit-exact cross-engine.  Moran's I divides by the mean first (the one
+non-dyadic step), so its final statistic is rounded to 6 dp — the
+cell_area mitigation for expression-tree rounding differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+
+def _with_idx(df: DataFrame, lat0: float, dlat: float, lon0: float, dlon: float) -> DataFrame:
+    return df.withColumn(
+        "y_idx", F.round((F.col("lat") - F.lit(lat0)) / F.lit(dlat)).cast("long")
+    ).withColumn(
+        "x_idx", F.round((F.col("lon") - F.lit(lon0)) / F.lit(dlon)).cast("long")
+    )
+
+
+def _axis_pairs(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int,
+    axis: str,
+    time_col: str,
+) -> DataFrame:
+    """(time, dir, h, v_i, v_j) rows for lags 1..max_lag along one
+    axis via ``lead`` windows — no self-join; adjacency is guarded by
+    the led index (holes in a sparse raster produce no false pairs,
+    the slope_finite_diff discipline)."""
+    part, order = (("y_idx", "x_idx") if axis == "x" else ("x_idx", "y_idx"))
+    w = Window.partitionBy(time_col, part).orderBy(order)
+    # window expressions are not allowed inside a generator: project
+    # the guarded leads to columns first (one window pass computes all
+    # max_lag of them — same partitioning, same sort), then explode
+    led = df.select(
+        time_col,
+        F.col(value_col).alias("vi"),
+        *[
+            F.when(
+                F.lead(order, h).over(w) - F.col(order) == h,
+                F.lead(value_col, h).over(w),
+            ).alias(f"_vj{h}")
+            for h in range(1, max_lag + 1)
+        ],
+    )
+    pairs = F.array(*[
+        F.struct(F.lit(h).alias("h"), F.col(f"_vj{h}").alias("vj"))
+        for h in range(1, max_lag + 1)
+    ])
+    return (
+        led.select(
+            time_col, F.lit(axis).alias("dir"), "vi", F.explode(pairs).alias("p")
+        )
+        .select(time_col, "dir", F.col("p.h").alias("h"), "vi", F.col("p.vj").alias("vj"))
+        .filter(F.col("vj").isNotNull())
+    )
+
+
+def semivariogram(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int = 6,
+    time_col: str = "hour",
+    lat0: float = LAT0,
+    dlat: float = DLAT,
+    lon0: float = LON0,
+    dlon: float = DLON,
+) -> DataFrame:
+    """Empirical directional semivariogram on the regular grid:
+    γ(h) = Σ (z(s) − z(s+h))² / (2·N(h)) for integer index lags
+    h = 1..max_lag along each axis (Matheron's classical estimator —
+    the standard spatial-correlation-range diagnostic before choosing
+    an interpolation kernel).
+
+    Dyadic values ⇒ the pair sums are exact and the single division
+    is bit-exact cross-engine, no tolerance.  Scale shape: lags come
+    from per-axis ``lead`` windows (2 ordered shuffles on
+    (time, row/col)), the explode fan-out is the constant max_lag,
+    and the final agg output is 2·max_lag rows per time slice.  No
+    pair join, no crossJoin, no densification assumption beyond the
+    led-index adjacency guard.
+    """
+    d = _with_idx(df, lat0, dlat, lon0, dlon)
+    px = _axis_pairs(d, value_col, max_lag, "x", time_col)
+    py = _axis_pairs(d, value_col, max_lag, "y", time_col)
+    dd = F.col("vi") - F.col("vj")
+    return (
+        px.unionByName(py)
+        .groupBy(time_col, "dir", "h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.sum(dd * dd) / (2.0 * F.count(F.lit(1)))).alias("gamma"),
+        )
+    )
+
+
+def morans_i(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "hour",
+    lat0: float = LAT0,
+    dlat: float = DLAT,
+    lon0: float = LON0,
+    dlon: float = DLON,
+) -> DataFrame:
+    """Global Moran's I (rook contiguity, binary weights) per time
+    slice — the standard global spatial-autocorrelation index
+    (Moran 1950; I → +1 smooth fields, ≈ −1/(N−1) under randomness).
+
+    Algebra: with undirected rook pairs P, pair-product sum
+    p = Σ x_i x_j, pair-value sum s = Σ (x_i + x_j), mean m, and W =
+    2·|P| (each undirected pair counts twice in the directed double
+    sum), I = (N/|P|) · (p − m·s + |P|·m²) / (Σx² − N·m²).  All SUMS
+    (p, s, Σx, Σx², counts) are exact dyadic reductions — aggregation
+    order cannot change them; only the handful of scalar ops AFTER
+    aggregation touch non-dyadic values, so the statistic is rounded
+    to 6 dp for the oracle (libm-free, but DuckDB may contract
+    mul-adds to FMA).
+
+    Scale shape: adjacent pairs via lag-1 ``lead`` windows (2 ordered
+    shuffles), one tiny per-time agg, one broadcast-sized join of two
+    48-row aggregates.  No N² anything.
+    """
+    d = _with_idx(df, lat0, dlat, lon0, dlon)
+    px = _axis_pairs(d, value_col, 1, "x", time_col)
+    py = _axis_pairs(d, value_col, 1, "y", time_col)
+    pair = (
+        px.unionByName(py)
+        .groupBy(time_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("vi") * F.col("vj")).alias("p_sum"),
+            F.sum(F.col("vi") + F.col("vj")).alias("s_sum"),
+        )
+    )
+    base = d.groupBy(time_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(value_col).alias("x_sum"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("xx_sum"),
+    )
+    j = base.join(pair, time_col)
+    m = F.col("x_sum") / F.col("n")
+    num = F.col("p_sum") - m * F.col("s_sum") + F.col("n_pairs") * m * m
+    den = F.col("xx_sum") - F.col("n") * m * m
+    return j.select(
+        time_col,
+        "n",
+        "n_pairs",
+        F.round((F.col("n") / F.col("n_pairs")) * num / den, 6).alias("morans_i_r6"),
+    )

@@ -3640,6 +3640,241 @@ GROUP BY 1, 2
 """
 
 
+def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical directional semivariogram γ(h), h = 1..6 index lags
+    per axis per hour (geostats.semivariogram, Matheron estimator) —
+    the spatial-correlation-range diagnostic run before choosing an
+    interpolation kernel.  Lag pairs via lead windows, NO pair join;
+    dyadic values ⇒ bit-exact oracle."""
+    from geodata_spark import geostats as GS
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    return GS.semivariogram(gv, "temperature", max_lag=6).withColumn(
+        "hour", F.col("hour").cast("long")
+    )
+
+
+def _semivariogram_sql(max_lag: int = 6) -> str:
+    parts = []
+    for axis, part, order in (("x", "y", "x"), ("y", "x", "y")):
+        for h in range(1, max_lag + 1):
+            win = f"(PARTITION BY hour, {part} ORDER BY {order})"
+            parts.append(f"""
+  SELECT hour, '{axis}' AS dir, {h} AS h, v AS vi,
+         CASE WHEN lead({order}, {h}) OVER {win} - {order} = {h}
+              THEN lead(v, {h}) OVER {win} END AS vj
+  FROM idx""")
+    union = "\n  UNION ALL".join(parts)
+    return f"""
+WITH {_GV_CTE},
+idx AS (
+  SELECT hour,
+         CAST(round((lat - 18.25) / 0.5) AS BIGINT) AS y,
+         CAST(round((lon - 73.3125) / 0.625) AS BIGINT) AS x,
+         temperature AS v
+  FROM gridv
+),
+pairs AS ({union}
+)
+SELECT CAST(hour AS BIGINT) AS hour, dir, CAST(h AS BIGINT) AS h,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       sum((vi - vj) * (vi - vj)) / (2.0 * count(*)) AS gamma
+FROM pairs WHERE vj IS NOT NULL
+GROUP BY hour, dir, h
+"""
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (rook contiguity) per hour over the
+    temperature field (geostats.morans_i) — the global spatial-
+    autocorrelation index.  All reductions are exact dyadic sums;
+    only the post-aggregation scalar algebra touches the mean, so the
+    statistic is rounded to 6 dp (FMA/association mitigation)."""
+    from geodata_spark import geostats as GS
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    return GS.morans_i(gv, "temperature").withColumn(
+        "hour", F.col("hour").cast("long")
+    )
+
+
+_MORANS_I_SQL = f"""
+WITH {_GV_CTE},
+idx AS (
+  SELECT hour,
+         CAST(round((lat - 18.25) / 0.5) AS BIGINT) AS y,
+         CAST(round((lon - 73.3125) / 0.625) AS BIGINT) AS x,
+         temperature AS v
+  FROM gridv
+),
+pairs AS (
+  SELECT hour, v AS vi,
+         CASE WHEN lead(x, 1) OVER (PARTITION BY hour, y ORDER BY x) - x = 1
+              THEN lead(v, 1) OVER (PARTITION BY hour, y ORDER BY x) END AS vj
+  FROM idx
+  UNION ALL
+  SELECT hour, v AS vi,
+         CASE WHEN lead(y, 1) OVER (PARTITION BY hour, x ORDER BY y) - y = 1
+              THEN lead(v, 1) OVER (PARTITION BY hour, x ORDER BY y) END AS vj
+  FROM idx
+),
+pagg AS (
+  SELECT hour, CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(vi * vj) AS p_sum, sum(vi + vj) AS s_sum
+  FROM pairs WHERE vj IS NOT NULL GROUP BY hour
+),
+bagg AS (
+  SELECT hour, CAST(count(*) AS BIGINT) AS n,
+         sum(v) AS x_sum, sum(v * v) AS xx_sum
+  FROM idx GROUP BY hour
+)
+SELECT CAST(b.hour AS BIGINT) AS hour, b.n, p.n_pairs,
+       round((CAST(b.n AS DOUBLE) / p.n_pairs)
+             * (p.p_sum - (b.x_sum / b.n) * p.s_sum
+                + p.n_pairs * (b.x_sum / b.n) * (b.x_sum / b.n))
+             / (b.xx_sum - b.n * (b.x_sum / b.n) * (b.x_sum / b.n)), 6)
+         AS morans_i_r6
+FROM bagg b JOIN pagg p ON b.hour = p.hour
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events table: signup → view → click →
+    purchase, each step's timestamp strictly after the previous
+    step's FIRST occurrence per user.  Implemented as a cascade of
+    conditional min-aggregations all keyed on user_id — every stage
+    reuses the same hash partitioning (one logical shuffle key), no
+    window over the full event stream, no per-user state UDF.
+    Output: step index, event type, users reaching the step, and the
+    fraction of step-1 users (exact integer division)."""
+    steps = ["signup", "view", "click", "purchase"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    cur = ev.filter(F.col("event_type") == steps[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    reached = [cur]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("event_type") == s)
+            .join(reached[-1], "user_id")
+            .filter(F.col("ts") > F.col(f"t{i - 1}"))
+            .groupBy("user_id", f"t{i - 1}")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        reached.append(nxt)
+    counts = None
+    for i, (s, r) in enumerate(zip(steps, reached), start=1):
+        c = r.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(s).alias("event_type"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    first = counts.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("n_first")
+    )
+    return counts.crossJoin(F.broadcast(first)).select(
+        "step", "event_type", "n_users",
+        (F.col("n_users").cast("double") / F.col("n_first").cast("double")
+         ).alias("frac_of_first"),
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t4
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS step, 'signup' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM s3
+  UNION ALL SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4
+)
+SELECT CAST(step AS BIGINT) AS step, event_type, n_users,
+       CAST(n_users AS DOUBLE)
+         / CAST((SELECT n_users FROM counts WHERE step = 1) AS DOUBLE)
+         AS frac_of_first
+FROM counts
+"""
+
+
+def q_wind_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wind rose: per-cell histogram of wind DIRECTION octant ×
+    speed class — the standard site-assessment summary a wind-energy
+    user derives from the reference's (ulml, vlml, wnd100m) columns.
+    NO TRIG: octants reuse the tan 22.5° sign/ratio rule from
+    `terrain_aspect` on the (u, v) components (meteorological
+    direction = where the wind blows FROM = octant of (−u, −v));
+    speed classes cut at the dyadic 10/20 m/s thresholds.  Pure
+    codegen CASE + one hash agg — bit-exact oracle."""
+    gv = _gv(spark).select("hour", "lat", "lon", "ulml", "vlml", "wnd100m")
+    d = gv.withColumn("dzdx", -F.col("ulml")).withColumn("dzdy", -F.col("vlml"))
+    spd = F.col("wnd100m")
+    sclass = (
+        F.when(spd < 10.0, "calm[0,10)")
+        .when(spd < 20.0, "moderate[10,20)")
+        .otherwise("strong[20,∞)")
+    )
+    return (
+        d.select(
+            "lat", "lon",
+            _aspect_sector().alias("sector"),
+            sclass.alias("speed_class"),
+            "wnd100m",
+        )
+        .groupBy("lat", "lon", "sector", "speed_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("wnd100m").alias("speed_sum"),
+        )
+    )
+
+
+_WIND_ROSE_SQL = f"""
+WITH {_GV_CTE},
+d AS (
+  SELECT lat, lon, wnd100m, -ulml AS dzdx, -vlml AS dzdy FROM gridv
+)
+SELECT lat, lon,
+       CASE
+         WHEN dzdx = 0.0 AND dzdy = 0.0 THEN 'flat'
+         WHEN abs(dzdy) <= abs(dzdx) * {_TAN_22_5}
+           THEN CASE WHEN dzdx > 0.0 THEN 'E' ELSE 'W' END
+         WHEN abs(dzdx) <= abs(dzdy) * {_TAN_22_5}
+           THEN CASE WHEN dzdy > 0.0 THEN 'N' ELSE 'S' END
+         WHEN dzdx > 0.0 AND dzdy > 0.0 THEN 'NE'
+         WHEN dzdx < 0.0 AND dzdy > 0.0 THEN 'NW'
+         WHEN dzdx > 0.0 AND dzdy < 0.0 THEN 'SE'
+         ELSE 'SW'
+       END AS sector,
+       CASE WHEN wnd100m < 10.0 THEN 'calm[0,10)'
+            WHEN wnd100m < 20.0 THEN 'moderate[10,20)'
+            ELSE 'strong[20,∞)' END AS speed_class,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(wnd100m) AS speed_sum
+FROM d
+GROUP BY 1, 2, 3, 4
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -3660,15 +3895,11 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
     "multifile_merge": q_multifile_merge,
-    "wind_power_smoothed": q_wind_power_smoothed,
-    "spline_profile": q_spline_profile,
     "doc_quantiles": q_doc_quantiles,
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
     "media_dedup": q_media_dedup,
     "plot_timeseries": q_plot_timeseries,
     "events_topk_twophase": q_events_topk_twophase,
-    "cell_cumsum_twophase": q_cell_cumsum,
-    "events_asof": q_events_asof,
     "hex_cells": q_hex_cells,
     "events_asof_binned": q_events_asof_binned,
     "hex_rollup": q_hex_rollup,
@@ -3716,8 +3947,22 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "unigram_logprob": q_unigram_logprob,
     "geo_radius_gc": q_geo_radius_gc,
+    # new round 6 (geostatistics + events batch): semivariogram,
+    # Moran's I, ordered funnel, trig-free wind rose — displacing
+    # wind_power_smoothed / spline_profile / cell_cumsum_twophase
+    # (green r05; the physics family keeps deep r01-r04 history,
+    # events_topk_twophase keeps two-phase ranking in-window) and
+    # pairing each displaced family with an in-window survivor
+    "semivariogram": q_semivariogram,
+    "morans_i": q_morans_i,
+    "events_funnel": q_events_funnel,
+    "wind_rose": q_wind_rose,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "wind_power_smoothed": q_wind_power_smoothed,
+    "spline_profile": q_spline_profile,
+    "cell_cumsum_twophase": q_cell_cumsum,
+    "events_asof": q_events_asof,
     "minhash_lsh_dedup": q_minhash_dedup,
     "tpch_pricing_summary": q_tpch_pricing,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -3883,4 +4128,8 @@ ORACLES = {
     "doc_repetition": TX.repetition_stats_sql(),
     "unigram_logprob": TX.unigram_logprob_sql(),
     "geo_radius_gc": _geo_radius_gc_sql(),
+    "semivariogram": _semivariogram_sql(),
+    "morans_i": _MORANS_I_SQL,
+    "events_funnel": _EVENTS_FUNNEL_SQL,
+    "wind_rose": _WIND_ROSE_SQL,
 }

@@ -1,0 +1,98 @@
+"""Semivariogram + Moran's I vs numpy brute force; funnel semantics."""
+
+import numpy as np
+
+from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+
+def _grid_df(spark, arr):
+    """Dense one-hour grid DataFrame from a 2-D numpy array."""
+    rows = [
+        (0, LAT0 + DLAT * y, LON0 + DLON * x, float(arr[y, x]))
+        for y in range(arr.shape[0])
+        for x in range(arr.shape[1])
+    ]
+    return spark.createDataFrame(
+        rows, "hour long, lat double, lon double, v double"
+    )
+
+
+def test_semivariogram_matches_numpy_brute_force(spark):
+    from geodata_spark.geostats import semivariogram
+
+    rng = np.random.RandomState(7)
+    arr = np.round(rng.uniform(0, 50, size=(6, 8)) * 16) / 16  # dyadic
+    out = semivariogram(_grid_df(spark, arr), "v", max_lag=3)
+    got = {(r.dir, r.h): (r.n_pairs, r.gamma) for r in out.collect()}
+    for h in (1, 2, 3):
+        dx = arr[:, h:] - arr[:, :-h]
+        dy = arr[h:, :] - arr[:-h, :]
+        assert got[("x", h)][0] == dx.size
+        assert got[("y", h)][0] == dy.size
+        assert got[("x", h)][1] == (dx**2).sum() / (2 * dx.size)
+        assert got[("y", h)][1] == (dy**2).sum() / (2 * dy.size)
+    # constant field -> gamma 0 at every lag
+    z = semivariogram(_grid_df(spark, np.full((4, 4), 3.5)), "v", max_lag=2)
+    assert all(r.gamma == 0.0 for r in z.collect())
+
+
+def test_morans_i_signs_and_numpy(spark):
+    from geodata_spark.geostats import morans_i
+
+    # checkerboard: perfect negative autocorrelation under rook weights
+    yy, xx = np.mgrid[0:6, 0:6]
+    checker = ((yy + xx) % 2).astype(float)
+    i_chk = morans_i(_grid_df(spark, checker), "v").collect()[0]
+    assert i_chk.morans_i_r6 == -1.0
+    # smooth gradient: strong positive
+    grad = (yy + xx).astype(float)
+    i_grad = morans_i(_grid_df(spark, grad), "v").collect()[0]
+    assert i_grad.morans_i_r6 > 0.5
+
+    # numpy brute force on a random dyadic field
+    rng = np.random.RandomState(11)
+    arr = np.round(rng.uniform(0, 9, size=(5, 7)) * 16) / 16
+    got = morans_i(_grid_df(spark, arr), "v").collect()[0]
+    z = arr - arr.mean()
+    num = (z[:, 1:] * z[:, :-1]).sum() + (z[1:, :] * z[:-1, :]).sum()
+    n_pairs = z[:, 1:].size + z[1:, :].size
+    want = (arr.size / n_pairs) * num / (z**2).sum()
+    assert got.n == arr.size and got.n_pairs == n_pairs
+    assert abs(got.morans_i_r6 - want) < 1e-6
+
+
+def test_events_funnel_ordering_semantics(spark):
+    from geodata_spark.queries import q_events_funnel
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        # u1 completes in order
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-01 00:01:00"),
+        (1, "click", "2024-01-01 00:02:00"),
+        (1, "purchase", "2024-01-01 00:03:00"),
+        # u2: view BEFORE signup (doesn't count), no later view
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "signup", "2024-01-01 00:01:00"),
+        (2, "click", "2024-01-01 00:02:00"),
+        # u3: stops after view; click is simultaneous with view (strict >)
+        (3, "signup", "2024-01-01 00:00:00"),
+        (3, "view", "2024-01-01 00:01:00"),
+        (3, "click", "2024-01-01 00:01:00"),
+        # u4: never signs up
+        (4, "view", "2024-01-01 00:00:00"),
+        (4, "purchase", "2024-01-01 00:01:00"),
+    ]
+    import tempfile
+
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.step: r for r in q_events_funnel(spark, d).collect()}
+    assert out[1].n_users == 3          # u1, u2, u3
+    assert out[2].n_users == 2          # u1, u3 (u2's view predates signup)
+    assert out[3].n_users == 1          # u1 only (u3's click not strictly later)
+    assert out[4].n_users == 1
+    assert out[4].frac_of_first == 1 / 3

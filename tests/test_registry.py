@@ -39,6 +39,7 @@ ROTATED_IN_R6 = {
     "terrain_aspect", "cell_ewma",
     "regrid_conservative", "doc_repetition", "unigram_logprob",
     "geo_radius_gc",
+    "semivariogram", "morans_i", "events_funnel", "wind_rose",
 }
 
 
