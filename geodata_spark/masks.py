@@ -507,3 +507,52 @@ def slope_finite_diff(layer: DataFrame, value_col: str = "value") -> DataFrame:
         "slope2",
         F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy"),
     )
+
+
+def focal_mean_3x3(layer: DataFrame, value_col: str = "value") -> DataFrame:
+    """3×3 focal (moving-window) mean of a raster layer — the standard
+    smoothing / noise-reduction pass before thresholding a mask (the
+    raster-algebra "focal statistics" primitive; the reference's users
+    apply it via scipy/xarray before mask.load-style thresholding).
+
+    Scatter→gather formulation: each cell CONTRIBUTES its value to the
+    9 positions whose neighborhood contains it (a constant 9× scan-side
+    explode), one map-side-combined hash agg collapses the fan-out, and
+    an equi-join back to the input keeps only positions where a center
+    cell exists.  The join key equals the agg key, so the join reuses
+    the aggregation's partitioning — two Exchanges total.  This is
+    hole-CORRECT: a missing cell simply contributes nothing anywhere
+    (a separable two-pass kernel is cheaper but silently drops the
+    whole row of a hole from vertical sums — rejected for that reason).
+    Edge/hole cells renormalize over the neighbors that exist.
+
+    Dyadic values ⇒ partial sums exact, single final division
+    bit-exact cross-engine.  Output adds ``focal_mean`` and
+    ``focal_n`` (neighborhood size actually used, 4..9).
+    """
+    offs = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ])
+    scattered = (
+        layer.select("y_idx", "x_idx", F.col(value_col).alias("_v"))
+        .withColumn("_o", F.explode(offs))
+        .select(
+            (F.col("y_idx") + F.col("_o.dy")).alias("_ty"),
+            (F.col("x_idx") + F.col("_o.dx")).alias("_tx"),
+            "_v",
+        )
+    )
+    agg = scattered.groupBy("_ty", "_tx").agg(
+        F.sum("_v").alias("_vs"), F.count(F.lit(1)).alias("_ns")
+    )
+    return (
+        layer.join(
+            agg,
+            (F.col("y_idx") == F.col("_ty")) & (F.col("x_idx") == F.col("_tx")),
+        )
+        .withColumn("focal_mean", F.col("_vs") / F.col("_ns").cast("double"))
+        .withColumn("focal_n", F.col("_ns").cast("long"))
+        .drop("_ty", "_tx", "_vs", "_ns")
+    )

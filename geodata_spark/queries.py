@@ -3875,6 +3875,177 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 focal mean of the elevation raster (masks.focal_mean_3x3):
+    hole-correct scatter→gather — constant 9× scan-side explode, one
+    map-side-combined agg, join back on the agg's own key; edges/holes
+    renormalize over existing neighbors.  Dyadic ⇒ bit-exact oracle."""
+    from geodata_spark import masks
+    from geodata_spark.synth import synth_mask_layers
+
+    elev = synth_mask_layers(spark).filter(F.col("layer") == "elevation")
+    out = masks.focal_mean_3x3(elev)
+    return out.select(
+        F.col("y_idx").cast("long").alias("y_idx"),
+        F.col("x_idx").cast("long").alias("x_idx"),
+        "value", "focal_mean", "focal_n",
+    )
+
+
+def _focal_mean_sql() -> str:
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+    return f"""
+WITH {mask_layers_sql_cte()},
+elev AS (
+  SELECT CAST(round((lat - {LAT0!r}) / {DLAT!r}) AS BIGINT) AS y_idx,
+         CAST(round((lon - {LON0!r}) / {DLON!r}) AS BIGINT) AS x_idx,
+         value
+  FROM maskl WHERE layer = 'elevation'
+),
+scattered AS (
+  SELECT e.y_idx + o.dy AS ty, e.x_idx + o.dx AS tx, e.value AS v
+  FROM elev e,
+       (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+         o(dy, dx)
+),
+agg AS (
+  SELECT ty, tx, sum(v) AS vs, CAST(count(*) AS BIGINT) AS ns
+  FROM scattered GROUP BY ty, tx
+)
+SELECT e.y_idx, e.x_idx, e.value,
+       a.vs / CAST(a.ns AS DOUBLE) AS focal_mean,
+       a.ns AS focal_n
+FROM elev e JOIN agg a ON e.y_idx = a.ty AND e.x_idx = a.tx
+"""
+
+
+# Euler–Mascheroni and pi to 17 significant digits — same IEEE double
+# in both engines (the _TAN_22_5 shared-literal discipline)
+_EULER_GAMMA = "0.57721566490153287"
+_PI = "3.1415926535897931"
+
+
+def q_gumbel_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis: per-cell Gumbel fit (method of moments)
+    on the wind-speed record and 10-/100-period return levels — the
+    return-period computation a wind-risk user runs on the reference's
+    hourly cutouts.  MOM: β = s·√6/π, μ = m − γ·β,
+    x_T = μ − β·ln(−ln(1 − 1/T)).  Sums are exact dyadic reductions;
+    the scalar tail (variance, sqrt, ln) is rounded to 6 dp (the
+    cell_area mitigation — sqrt is correctly rounded everywhere, ln is
+    the usual libm caveat)."""
+    gv = _gv(spark).select("lat", "lon", "wnd100m")
+    agg = gv.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wnd100m").alias("sx"),
+        F.sum(F.col("wnd100m") * F.col("wnd100m")).alias("sxx"),
+    )
+    m = F.col("sx") / F.col("n")
+    s2 = (F.col("sxx") - F.col("n") * m * m) / (F.col("n") - 1)
+    beta = F.sqrt(F.lit(6.0) * F.greatest(s2, F.lit(0.0))) / F.lit(float(_PI))
+    mu = m - F.lit(float(_EULER_GAMMA)) * beta
+    x10 = mu - beta * F.log(-F.log(F.lit(0.9)))
+    x100 = mu - beta * F.log(-F.log(F.lit(0.99)))
+    return agg.select(
+        "lat", "lon", "n",
+        F.round(mu, 6).alias("mu_r6"),
+        F.round(beta, 6).alias("beta_r6"),
+        F.round(x10, 6).alias("rl10_r6"),
+        F.round(x100, 6).alias("rl100_r6"),
+    )
+
+
+_GUMBEL_SQL = f"""
+WITH {_GV_CTE},
+agg AS (
+  SELECT lat, lon, CAST(count(*) AS BIGINT) AS n,
+         sum(wnd100m) AS sx, sum(wnd100m * wnd100m) AS sxx
+  FROM gridv GROUP BY lat, lon
+)
+SELECT lat, lon, n,
+       round((sx / n) - {_EULER_GAMMA}
+             * (sqrt(6.0 * greatest((sxx - n * (sx / n) * (sx / n)) / (n - 1), 0.0))
+                / {_PI}), 6) AS mu_r6,
+       round(sqrt(6.0 * greatest((sxx - n * (sx / n) * (sx / n)) / (n - 1), 0.0))
+             / {_PI}, 6) AS beta_r6,
+       round(((sx / n) - {_EULER_GAMMA}
+              * (sqrt(6.0 * greatest((sxx - n * (sx / n) * (sx / n)) / (n - 1), 0.0))
+                 / {_PI}))
+             - (sqrt(6.0 * greatest((sxx - n * (sx / n) * (sx / n)) / (n - 1), 0.0))
+                / {_PI}) * ln(-ln(0.9)), 6) AS rl10_r6,
+       round(((sx / n) - {_EULER_GAMMA}
+              * (sqrt(6.0 * greatest((sxx - n * (sx / n) * (sx / n)) / (n - 1), 0.0))
+                 / {_PI}))
+             - (sqrt(6.0 * greatest((sxx - n * (sx / n) * (sx / n)) / (n - 1), 0.0))
+                / {_PI}) * ln(-ln(0.99)), 6) AS rl100_r6
+FROM agg
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen: Population Stability Index of the
+    document-length distribution between two deterministic corpus
+    splits (even- vs odd-numbered sources) — the monitoring check a
+    training-data pipeline runs when a new crawl lands.  Add-1
+    smoothed bin proportions (p, q exact integer divisions), per-bin
+    contribution (p−q)·ln(p/q) rounded 6 dp (ln is libm).  ONE hash
+    agg builds the bin table; the normalizing totals are window sums
+    over that constant-size aggregate, so nothing re-scans the corpus.
+    PSI < 0.1 = stable, > 0.25 = action (the industry rule recorded in
+    the column name)."""
+    d = _docs(spark, sf_dir).select(
+        (F.regexp_replace("source", "[^0-9]", "").cast("long") % 2).alias("grp"),
+        F.least(F.expr("n_chars div 100"), F.lit(6).cast("long")).alias("bin"),
+    )
+    bins = d.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()  # constant-size bin table, never the corpus
+    bins = bins.withColumn("na", F.sum("ca").over(w)).withColumn(
+        "nb", F.sum("cb").over(w)
+    ).withColumn("k", F.count(F.lit(1)).over(w))
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("k")).cast("double")
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("k")).cast("double")
+    return bins.select(
+        "bin", "ca", "cb",
+        p.alias("p"), q.alias("q"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib_r6"),
+    )
+
+
+_PSI_DRIFT_SQL = """
+WITH d AS (
+  SELECT CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 AS grp,
+         least(n_chars // 100, 6) AS bin
+  FROM documents
+),
+bins AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM d GROUP BY bin
+),
+tot AS (
+  SELECT *, sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+         count(*) OVER () AS k
+  FROM bins
+)
+SELECT bin, ca, cb,
+       CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) AS p,
+       CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE) AS q,
+       round((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE)
+              - CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+             * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+                  / (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))), 6)
+         AS psi_contrib_r6
+FROM tot
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -3897,16 +4068,13 @@ QUERIES = {
     "multifile_merge": q_multifile_merge,
     "doc_quantiles": q_doc_quantiles,
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
-    "media_dedup": q_media_dedup,
     "plot_timeseries": q_plot_timeseries,
-    "events_topk_twophase": q_events_topk_twophase,
     "hex_cells": q_hex_cells,
     "events_asof_binned": q_events_asof_binned,
     "hex_rollup": q_hex_rollup,
     "hex_rollup_multi": q_hex_rollup_multi,
     "hex_knn": q_hex_knn,
     "zonal_wavg_hex": q_zonal_wavg_hex,
-    "mask_contours": q_mask_contours,
     # in-window because round 6 touched them: dedup_clusters gained the
     # two-phase star contraction, tfidf_top_terms had no driver row yet
     "dedup_clusters": q_dedup_clusters,
@@ -3957,8 +4125,20 @@ QUERIES = {
     "morans_i": q_morans_i,
     "events_funnel": q_events_funnel,
     "wind_rose": q_wind_rose,
+    # new round 6 (raster/EVA/drift batch): separable 3×3 focal mean,
+    # per-cell Gumbel return levels, PSI drift — displacing
+    # events_topk_twophase / media_dedup / mask_contours (green r05,
+    # locked; media_features keeps the media family in-window,
+    # mask_merge the masks family, and cell_cumsum_twophase already
+    # carries the two-phase family's locked history)
+    "focal_mean": q_focal_mean,
+    "gumbel_return": q_gumbel_return,
+    "psi_drift": q_psi_drift,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
+    "events_topk_twophase": q_events_topk_twophase,
+    "media_dedup": q_media_dedup,
+    "mask_contours": q_mask_contours,
     "wind_power_smoothed": q_wind_power_smoothed,
     "spline_profile": q_spline_profile,
     "cell_cumsum_twophase": q_cell_cumsum,
@@ -4132,4 +4312,7 @@ ORACLES = {
     "morans_i": _MORANS_I_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "wind_rose": _WIND_ROSE_SQL,
+    "focal_mean": _focal_mean_sql(),
+    "gumbel_return": _GUMBEL_SQL,
+    "psi_drift": _PSI_DRIFT_SQL,
 }

@@ -96,3 +96,68 @@ def test_events_funnel_ordering_semantics(spark):
     assert out[3].n_users == 1          # u1 only (u3's click not strictly later)
     assert out[4].n_users == 1
     assert out[4].frac_of_first == 1 / 3
+
+
+def test_gumbel_return_numpy_twin(spark):
+    """Method-of-moments Gumbel fit per cell equals the numpy
+    formulas; return levels are ordered rl100 > rl10 > mean."""
+    import math
+
+    import numpy as np
+
+    from geodata_spark.queries import _GV_DIMS, q_gumbel_return
+    from geodata_spark.synth import synth_grid_vars
+
+    out = q_gumbel_return(spark, "unused")
+    rows = out.collect()
+    assert len(rows) == _GV_DIMS["ny"] * _GV_DIMS["nx"]
+    gv = synth_grid_vars(spark, **_GV_DIMS).select("lat", "lon", "wnd100m").toPandas()
+    g = gv.groupby(["lat", "lon"]).wnd100m
+    m, s = g.mean(), g.std(ddof=1)
+    for r in rows[:20]:
+        beta = s.loc[(r.lat, r.lon)] * math.sqrt(6) / math.pi
+        mu = m.loc[(r.lat, r.lon)] - 0.5772156649015329 * beta
+        assert abs(r.beta_r6 - beta) < 1e-5
+        assert abs(r.mu_r6 - mu) < 1e-5
+        rl10 = mu - beta * math.log(-math.log(0.9))
+        rl100 = mu - beta * math.log(-math.log(0.99))
+        assert abs(r.rl10_r6 - rl10) < 1e-5 and abs(r.rl100_r6 - rl100) < 1e-5
+        assert r.rl100_r6 > r.rl10_r6 > m.loc[(r.lat, r.lon)] - 1e-9
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    import math
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from geodata_spark.queries import q_psi_drift
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/documents.parquet")
+            return q_psi_drift(spark, d).collect()
+
+    # identical length distributions in both splits -> PSI exactly 0
+    same = [
+        (i, "t", "en", f"src{i % 2}", 50 + 100 * (i % 3)) for i in range(60)
+    ]
+    out = run(same)
+    assert sum(r.psi_contrib_r6 for r in out) == 0.0
+    # shifted distribution -> strictly positive PSI, correct smoothing
+    shifted = [
+        (i, "t", "en", "src0", 50) for i in range(30)
+    ] + [
+        (i + 100, "t", "en", "src1", 250) for i in range(30)
+    ]
+    out2 = {r.bin: r for r in run(shifted)}
+    assert set(out2) == {0, 2}
+    r0 = out2[0]
+    assert (r0.ca, r0.cb) == (30, 0)
+    p, q = 31 / 32, 1 / 32
+    assert r0.p == p and r0.q == q
+    assert r0.psi_contrib_r6 == round((p - q) * math.log(p / q), 6)
+    assert sum(r.psi_contrib_r6 for r in out2.values()) > 0.25  # "action" zone

@@ -284,3 +284,35 @@ def test_aspect_octant_classifier(spark):
     )
     got = [r.sector for r in df.select(_aspect_sector().alias("sector")).collect()]
     assert got == [s for _, _, s in cases]
+
+
+def test_focal_mean_3x3_matches_numpy(spark):
+    """Separable two-pass focal mean == brute-force 3×3 neighborhood
+    mean, with edge renormalization and hole handling."""
+    import numpy as np
+
+    from geodata_spark.masks import focal_mean_3x3
+
+    rng = np.random.RandomState(3)
+    arr = np.round(rng.uniform(0, 100, size=(5, 7)) * 16) / 16   # dyadic
+    hole = (2, 3)
+    rows = [
+        (y, x, float(arr[y, x]))
+        for y in range(5) for x in range(7) if (y, x) != hole
+    ]
+    df = spark.createDataFrame(rows, "y_idx long, x_idx long, value double")
+    out = {(r.y_idx, r.x_idx): r for r in focal_mean_3x3(df).collect()}
+    for (y, x), r in out.items():
+        vals = [
+            arr[yy, xx]
+            for yy in range(max(0, y - 1), min(5, y + 2))
+            for xx in range(max(0, x - 1), min(7, x + 2))
+            if (yy, xx) != hole
+        ]
+        assert r.focal_n == len(vals), (y, x)
+        assert r.focal_mean == sum(vals) / len(vals), (y, x)
+    # interior non-hole-adjacent cell uses all 9; corner uses 4
+    assert out[(0, 0)].focal_n == 4
+    assert out[(3, 5)].focal_n == 9
+    # hole neighbor: 8 cells (hole excluded, not bridged-over)
+    assert out[(2, 2)].focal_n == 8
