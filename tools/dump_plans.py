@@ -101,6 +101,31 @@ NOTES = {
         "DEM gradient: two analytic Window passes (row-adjacent, then "
         "column-adjacent) — two Exchanges total, no shifted-copy joins"
     ),
+    "regrid_conservative": (
+        "conservative regrid: target indices + integer overlap weights "
+        "computed SCAN-SIDE (two Generates, ≤4x fan-out), ONE hash agg "
+        "— zero joins anywhere in the plan"
+    ),
+    "semivariogram": (
+        "semivariogram: all 6 lags from ONE lead-window pass per axis "
+        "(two ordered Exchanges), explode over the materialized lag "
+        "columns, tiny final agg — no pair self-join"
+    ),
+    "focal_mean": (
+        "focal mean: 9-offset scatter Generate, map-side-combined hash "
+        "agg, join back ON THE AGG KEY (partitioning reused) — "
+        "hole-correct without an 8-way neighbor join"
+    ),
+    "events_funnel": (
+        "funnel: every stage aggregates or joins on user_id — one "
+        "logical shuffle key end-to-end; conditional-min cascade, no "
+        "full-stream window"
+    ),
+    "geo_radius_gc": (
+        "geodesic radius: cos(lat)-widened ring-cell equi-join "
+        "prefilter, haversine refine as codegen expressions above the "
+        "join — no CartesianProduct"
+    ),
 }
 
 
