@@ -269,3 +269,96 @@ FROM {table},
      unnest(generate_series(1, greatest(length({text_col}), 1), {s})) AS g(start)
 WHERE {text_col} IS NOT NULL
 """
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights_pct: dict[str, int],
+    budget_chars: int,
+    domain_col: str = "lang",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Token-budget mixture sampling: derive per-domain keep rates so
+    the kept corpus approaches ``budget_chars`` split across domains
+    by ``weights_pct`` (DoReMi/Pile-style domain mixing), then apply
+    them with the :func:`stratified_sample` hash gate.
+
+    Rates are DATA-DERIVED (rate_d = min(100, ⌊budget·w_d / T_d⌋) in
+    integer percent, with T_d the domain's total chars) but the
+    per-document decision stays the deterministic salted-hash bucket:
+    no RNG, identical across runs/engines/retries, and a document's
+    fate is independent of execution plan.  Under-represented domains
+    saturate at 100% (you cannot sample what isn't there) rather than
+    silently rebalancing — the honest behavior for mixing audits.
+
+    Scale shape: pass 1 is one map-side-combined agg producing a
+    DOMAIN-sized table; its rates broadcast-join back onto the corpus
+    and the gate evaluates in the scan stage — the corpus itself never
+    shuffles.  All rate arithmetic is integer ⇒ exact cross-engine.
+
+    Output: input columns + ``rate_pct``, filtered to kept documents.
+    """
+    from pyspark.sql.functions import broadcast
+
+    w = F.lit(0)
+    for name, pct in sorted(weights_pct.items()):
+        w = F.when(F.col(domain_col) == name, F.lit(int(pct))).otherwise(w)
+    dom = docs.groupBy(domain_col).agg(
+        F.sum(size_col).cast("long").alias("_t")
+    )
+    rates = dom.select(
+        domain_col,
+        F.least(
+            F.lit(100),
+            F.expr(f"({int(budget_chars)} * CAST({_mix_w_sql(weights_pct, domain_col)} AS BIGINT)) div _t"),
+        ).cast("long").alias("rate_pct"),
+    )
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("sample|"), F.col(id_col).cast("string")),
+               _SEED, hash_mode),
+        F.lit(100),
+    )
+    return (
+        docs.join(broadcast(rates), domain_col)
+        .filter(bucket < F.col("rate_pct"))
+    )
+
+
+def _mix_w_sql(weights_pct: dict[str, int], domain_col: str) -> str:
+    cases = " ".join(
+        f"WHEN {domain_col} = '{name}' THEN {int(pct)}"
+        for name, pct in sorted(weights_pct.items())
+    )
+    return f"(CASE {cases} ELSE 0 END)"
+
+
+def mixture_sample_sql(
+    weights_pct: dict[str, int],
+    budget_chars: int,
+    domain_col: str = "lang",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` (md5_60 gate), returning
+    kept rows + rate_pct."""
+    w = _mix_w_sql(weights_pct, domain_col)
+    salted = f"'sample|' || CAST({id_col} AS VARCHAR)"
+    gate = f"({hash60_sql(salted, _SEED)} % 100)"
+    return f"""
+WITH dom AS (
+  SELECT {domain_col}, CAST(sum({size_col}) AS BIGINT) AS t
+  FROM {table} GROUP BY {domain_col}
+),
+rates AS (
+  SELECT {domain_col},
+         least(100, ({int(budget_chars)} * CAST({w} AS BIGINT)) // t)
+           AS rate_pct
+  FROM dom
+)
+SELECT d.*, r.rate_pct
+FROM {table} d JOIN rates r USING ({domain_col})
+WHERE {gate} < r.rate_pct
+"""

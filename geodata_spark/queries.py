@@ -4046,6 +4046,38 @@ FROM tot
 """
 
 
+_MIX_WEIGHTS = {"en": 40, "de": 20, "fr": 15, "es": 15, "zh": 10}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (packing.mixture_sample): derive
+    per-language keep rates targeting a 60k-char budget split
+    40/20/15/15/10, apply them with the deterministic md5 gate, and
+    report the per-domain audit (rate, kept docs, kept chars).  Rate
+    arithmetic is pure integer ⇒ exact; the corpus never shuffles —
+    one domain-sized agg, broadcast rates, scan-stage gate."""
+    kept = PK.mixture_sample(
+        _docs(spark, sf_dir), _MIX_WEIGHTS, budget_chars=60000,
+        hash_mode="md5_60",
+    )
+    return kept.groupBy("lang").agg(
+        F.min("rate_pct").alias("rate_pct"),
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+def _mixture_sample_sql() -> str:
+    inner = PK.mixture_sample_sql(_MIX_WEIGHTS, budget_chars=60000)
+    return f"""
+SELECT lang, min(rate_pct) AS rate_pct,
+       CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM ({inner}) kept
+GROUP BY lang
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4065,7 +4097,6 @@ QUERIES = {
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
-    "multifile_merge": q_multifile_merge,
     "doc_quantiles": q_doc_quantiles,
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
     "plot_timeseries": q_plot_timeseries,
@@ -4134,11 +4165,15 @@ QUERIES = {
     "focal_mean": q_focal_mean,
     "gumbel_return": q_gumbel_return,
     "psi_drift": q_psi_drift,
+    # new round 6: token-budget mixture sampling (displacing
+    # multifile_merge, green r01-r05 locked)
+    "mixture_sample": q_mixture_sample,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
     "events_topk_twophase": q_events_topk_twophase,
     "media_dedup": q_media_dedup,
     "mask_contours": q_mask_contours,
+    "multifile_merge": q_multifile_merge,
     "wind_power_smoothed": q_wind_power_smoothed,
     "spline_profile": q_spline_profile,
     "cell_cumsum_twophase": q_cell_cumsum,
@@ -4315,4 +4350,5 @@ ORACLES = {
     "focal_mean": _focal_mean_sql(),
     "gumbel_return": _GUMBEL_SQL,
     "psi_drift": _PSI_DRIFT_SQL,
+    "mixture_sample": _mixture_sample_sql(),
 }

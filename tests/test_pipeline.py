@@ -660,3 +660,39 @@ def test_unigram_logprob_uniform_and_weighted(spark):
     out2 = {r.doc_id: r for r in TX.unigram_logprob(df2).collect()}
     assert out2[2].avg_ln_p < out2[1].avg_ln_p
     assert out2[1].avg_ln_p == round(math.log(5 / 6), 6)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from geodata_spark.pipeline import packing as PK
+
+    rows = []
+    # en: 100 docs x 100 chars = 10_000; de: 50 x 100 = 5_000
+    for i in range(100):
+        rows.append((i, "en", 100))
+    for i in range(50):
+        rows.append((1000 + i, "de", 100))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    # budget 6000, weights en 50 / de 50 -> target 3000 chars each:
+    # rate_en = 6000*50 // 10000 = 30, rate_de = 6000*50 // 5000 = 60
+    kept = PK.mixture_sample(
+        df, {"en": 50, "de": 50}, budget_chars=6000, hash_mode="md5_60"
+    )
+    out = kept.groupBy("lang").count().collect()
+    rates = {r.lang: r for r in kept.select("lang", "rate_pct").distinct().collect()}
+    assert rates["en"].rate_pct == 30 and rates["de"].rate_pct == 60
+    # hash gate keeps roughly rate% (md5 uniformity on 100/50 ids)
+    cnt = {r.lang: r["count"] for r in out}
+    assert 15 <= cnt["en"] <= 45 and 15 <= cnt["de"] <= 45
+    # saturation: tiny domain requested a big share -> capped at 100
+    df2 = spark.createDataFrame(
+        [(1, "rare", 10), (2, "rare", 10)], "doc_id long, lang string, n_chars long"
+    )
+    kept2 = PK.mixture_sample(df2, {"rare": 100}, budget_chars=10**6,
+                              hash_mode="md5_60")
+    assert kept2.count() == 2 and kept2.select("rate_pct").first().rate_pct == 100
+    # determinism: same call keeps the identical doc set
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in PK.mixture_sample(
+        df, {"en": 50, "de": 50}, budget_chars=6000, hash_mode="md5_60"
+    ).select("doc_id").collect())
+    assert ids1 == ids2

@@ -40,7 +40,7 @@ ROTATED_IN_R6 = {
     "regrid_conservative", "doc_repetition", "unigram_logprob",
     "geo_radius_gc",
     "semivariogram", "morans_i", "events_funnel", "wind_rose",
-    "focal_mean", "gumbel_return", "psi_drift",
+    "focal_mean", "gumbel_return", "psi_drift", "mixture_sample",
 }
 
 
