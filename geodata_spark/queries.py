@@ -4078,6 +4078,90 @@ GROUP BY lang
 """
 
 
+def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed hydrology: D8 flow direction (scatter→gather
+    steepest descent, dyadic drop²/dist² argmax — no sqrt, no
+    tolerance) + watershed basin labels by pointer DOUBLING
+    (hydro.watershed, O(log path) rounds with the filter_area fused
+    convergence probe).  Oracle: DuckDB recursive CTE walking each
+    cell's flow path to its sink — two different algorithms
+    (log-round doubling vs linear recursion), same labels.  Output
+    adds per-basin cell counts."""
+    from geodata_spark import hydro
+    from geodata_spark.synth import synth_mask_layers
+
+    elev = synth_mask_layers(spark).filter(F.col("layer") == "elevation")
+    ws = hydro.watershed(elev)
+    sizes = ws.groupBy("basin").agg(
+        F.count(F.lit(1)).cast("long").alias("basin_cells")
+    )
+    return ws.join(sizes, "basin").select(
+        "y_idx", "x_idx",
+        F.expr(f"basin div {hydro.Y_STEP}").alias("sink_y"),
+        F.pmod(F.col("basin"), F.lit(hydro.Y_STEP)).alias("sink_x"),
+        "basin_cells",
+    )
+
+
+def _watershed_sql() -> str:
+    from geodata_spark.hydro import Y_STEP
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+    offs = ", ".join(
+        f"({dy},{dx})" for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if not (dy == 0 and dx == 0)
+    )
+    return f"""
+WITH RECURSIVE {mask_layers_sql_cte()},
+elev AS (
+  SELECT CAST(round((lat - {LAT0!r}) / {DLAT!r}) AS BIGINT) AS y_idx,
+         CAST(round((lon - {LON0!r}) / {DLON!r}) AS BIGINT) AS x_idx,
+         value AS z
+  FROM maskl WHERE layer = 'elevation'
+),
+basec AS (
+  SELECT y_idx, x_idx, z, y_idx * {Y_STEP} + x_idx AS cell FROM elev
+),
+cand AS (
+  SELECT c.cell, o.dy, o.dx,
+         (c.z - n.z) * (c.z - n.z) / CAST(o.dy * o.dy + o.dx * o.dx AS DOUBLE)
+           AS s2
+  FROM basec c
+  JOIN (VALUES {offs}) o(dy, dx) ON TRUE
+  JOIN basec n ON n.y_idx = c.y_idx + o.dy AND n.x_idx = c.x_idx + o.dx
+  WHERE n.z < c.z
+),
+best AS (
+  SELECT cell, dy, dx,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY s2 DESC, dy ASC, dx ASC) AS rn
+  FROM cand
+),
+d8 AS (
+  SELECT b.y_idx, b.x_idx, b.cell,
+         coalesce(b.cell + t.dy * {Y_STEP} + t.dx, b.cell) AS parent
+  FROM basec b LEFT JOIN (SELECT * FROM best WHERE rn = 1) t USING (cell)
+),
+walk AS (
+  SELECT cell, parent AS cur FROM d8
+  UNION
+  SELECT w.cell, d.parent FROM walk w JOIN d8 d ON w.cur = d.cell
+),
+lab AS (
+  SELECT w.cell, w.cur AS basin
+  FROM walk w JOIN d8 s ON w.cur = s.cell AND s.parent = s.cell
+),
+sizes AS (
+  SELECT basin, CAST(count(*) AS BIGINT) AS basin_cells FROM lab GROUP BY basin
+)
+SELECT e.y_idx, e.x_idx,
+       l.basin // {Y_STEP} AS sink_y,
+       l.basin % {Y_STEP} AS sink_x,
+       z.basin_cells
+FROM d8 e JOIN lab l ON e.cell = l.cell JOIN sizes z ON l.basin = z.basin
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4098,7 +4182,6 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
     "doc_quantiles": q_doc_quantiles,
-    "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
     "plot_timeseries": q_plot_timeseries,
     "hex_cells": q_hex_cells,
     "events_asof_binned": q_events_asof_binned,
@@ -4165,15 +4248,19 @@ QUERIES = {
     "focal_mean": q_focal_mean,
     "gumbel_return": q_gumbel_return,
     "psi_drift": q_psi_drift,
-    # new round 6: token-budget mixture sampling (displacing
-    # multifile_merge, green r01-r05 locked)
+    # new round 6: token-budget mixture sampling + D8 watershed
+    # (displacing multifile_merge and sql_zonal_daily_wavg, green
+    # r01-r05 / r04-r05 locked; the SQL-surface family's DataFrame
+    # twins all remain oracle-paired in the tail)
     "mixture_sample": q_mixture_sample,
+    "watershed": q_watershed,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
     "events_topk_twophase": q_events_topk_twophase,
     "media_dedup": q_media_dedup,
     "mask_contours": q_mask_contours,
     "multifile_merge": q_multifile_merge,
+    "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
     "wind_power_smoothed": q_wind_power_smoothed,
     "spline_profile": q_spline_profile,
     "cell_cumsum_twophase": q_cell_cumsum,
@@ -4351,4 +4438,5 @@ ORACLES = {
     "gumbel_return": _GUMBEL_SQL,
     "psi_drift": _PSI_DRIFT_SQL,
     "mixture_sample": _mixture_sample_sql(),
+    "watershed": _watershed_sql(),
 }

@@ -161,3 +161,50 @@ def test_psi_drift_identical_and_shifted(spark):
     assert r0.p == p and r0.q == q
     assert r0.psi_contrib_r6 == round((p - q) * math.log(p / q), 6)
     assert sum(r.psi_contrib_r6 for r in out2.values()) > 0.25  # "action" zone
+
+
+def test_d8_flow_and_watershed_semantics(spark):
+    """Crafted 2-pit DEM: flow follows steepest descent with the
+    documented tie-break; basins partition the raster; sink labels
+    are the pits."""
+    from geodata_spark.hydro import Y_STEP, flow_direction_d8, watershed
+
+    # two pits at (0,0)=0 and (2,3)=1; ridge between x=1 and x=2
+    z = [
+        [0.0, 2.0, 9.0, 3.0],
+        [2.0, 4.0, 9.0, 2.5],
+        [3.0, 5.0, 9.0, 1.0],
+    ]
+    rows = [(y, x, z[y][x]) for y in range(3) for x in range(4)]
+    df = spark.createDataFrame(rows, "y_idx long, x_idx long, value double")
+    d8 = {(r.y_idx, r.x_idx): r for r in flow_direction_d8(df).collect()}
+    # pits are sinks
+    assert d8[(0, 0)].parent == d8[(0, 0)].cell
+    assert d8[(2, 3)].parent == d8[(2, 3)].cell
+    # (1,1): neighbors include (0,0) drop 4/sqrt2 and (0,1) drop 2/1 ->
+    # slope2 16/2=8 vs 4 -> diagonal wins
+    assert d8[(1, 1)].parent == 0 * Y_STEP + 0
+    # (0,1) flows to (0,0): drop 2 dist 1 (slope2 4) beats nothing better
+    assert d8[(0, 1)].parent == 0
+    ws = {(r.y_idx, r.x_idx): r.basin for r in watershed(df).collect()}
+    sink_a = 0 * Y_STEP + 0
+    sink_b = 2 * Y_STEP + 3
+    assert set(ws.values()) == {sink_a, sink_b}
+    # the ridge column (x=2) splits: 9.0 cells drain by tie-break but
+    # every cell lands in exactly one of the two basins
+    assert ws[(0, 0)] == sink_a and ws[(2, 3)] == sink_b
+    assert ws[(1, 3)] == sink_b and ws[(1, 0)] == sink_a
+
+
+def test_watershed_pointer_doubling_is_log_rounds(spark):
+    """A 1000-cell monotone ramp (single flow path of length 999)
+    converges within ~log2(999)+2 doubling rounds — the O(log L)
+    claim, not O(L)."""
+    from geodata_spark.hydro import watershed
+
+    rows = [(0, x, float(x)) for x in range(1000)]
+    df = spark.createDataFrame(rows, "y_idx long, x_idx long, value double")
+    ws = watershed(df, max_iters=12)      # log2(999) ≈ 10; O(L) would need 999
+    labs = {r.x_idx: r.basin for r in ws.collect()}
+    assert set(labs.values()) == {0}      # everything drains to x=0
+    assert len(labs) == 1000
