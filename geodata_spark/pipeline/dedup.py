@@ -145,6 +145,48 @@ def with_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     return out
 
 
+def boilerplate_screen(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-corpus boilerplate detector: word n-gram shingles shared
+    by ≥ ``min_docs`` DISTINCT documents are "boilerplate" (headers,
+    footers, licence blocks, navigation chrome — the cross-document
+    repetition :func:`~geodata_spark.pipeline.text.repetition_stats`
+    cannot see because it is per-document); each document is scored by
+    the fraction of its distinct shingles that are boilerplate.
+
+    Plan shape: the (id, shingle) table is built once (distinct
+    per-doc shingles); one shingle-keyed agg computes document
+    frequency; the hot set (≥ min_docs) is SMALL by Zipf and
+    broadcasts back — the corpus shingle table shuffles exactly once.
+    ``boiler_frac`` is one IEEE division of exact integers ⇒ bit-exact
+    oracle.
+    """
+    sh = with_shingles(docs, n, id_col, text_col)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("shingle", F.lit(1).alias("_hot"))
+    )
+    flagged = sh.join(F.broadcast(hot.select("shingle", "_hot")), "shingle", "left")
+    return (
+        flagged.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
 def _pair_jaccard(sh: DataFrame, cands: DataFrame | None, threshold: float) -> DataFrame:
     """Exact shingle Jaccard per pair; pairs restricted to ``cands``
     when given, else to the inverted-index candidates of ``sh``."""

@@ -4162,6 +4162,46 @@ FROM d8 e JOIN lab l ON e.cell = l.cell JOIN sizes z ON l.basin = z.basin
 """
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus boilerplate screen (dedup.boilerplate_screen):
+    word 5-gram shingles in ≥3 distinct docs are boilerplate; per-doc
+    fraction of boilerplate shingles.  One shingle-keyed shuffle, hot
+    set broadcast back; exact-integer fraction ⇒ bit-exact oracle."""
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long"))
+    return DD.boilerplate_screen(docs, n=5, min_docs=3)
+
+
+_BOILERPLATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, {TX.normalize_sql('text', 'duckdb')} AS norm
+  FROM documents
+),
+tl AS (SELECT id, string_split(norm, ' ') AS t FROM d),
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id,
+           unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      || ' ' || t[i+3] || ' ' || t[i+4]))
+             AS shingle
+    FROM tl
+  )
+  WHERE shingle IS NOT NULL
+),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 3
+)
+SELECT sh.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS boiler_frac
+FROM sh LEFT JOIN hot h USING (shingle)
+GROUP BY sh.id
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4176,7 +4216,6 @@ QUERIES = {
     "cell_hist": q_cell_hist,
     "zone_cover": q_zone_cover,
     "mask_merge": q_mask_merge,
-    "text_stats": q_text_stats,
     "exact_dedup": q_exact_dedup,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -4254,6 +4293,9 @@ QUERIES = {
     # twins all remain oracle-paired in the tail)
     "mixture_sample": q_mixture_sample,
     "watershed": q_watershed,
+    # boilerplate screen displaces text_stats (green r01-r05; the text
+    # family stays represented by doc_repetition/unigram_logprob/tfidf)
+    "boilerplate": q_boilerplate,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
     "events_topk_twophase": q_events_topk_twophase,
@@ -4261,6 +4303,7 @@ QUERIES = {
     "mask_contours": q_mask_contours,
     "multifile_merge": q_multifile_merge,
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
+    "text_stats": q_text_stats,
     "wind_power_smoothed": q_wind_power_smoothed,
     "spline_profile": q_spline_profile,
     "cell_cumsum_twophase": q_cell_cumsum,
@@ -4439,4 +4482,5 @@ ORACLES = {
     "psi_drift": _PSI_DRIFT_SQL,
     "mixture_sample": _mixture_sample_sql(),
     "watershed": _watershed_sql(),
+    "boilerplate": _BOILERPLATE_SQL,
 }

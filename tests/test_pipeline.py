@@ -696,3 +696,25 @@ def test_mixture_sample_rates_and_determinism(spark):
         df, {"en": 50, "de": 50}, budget_chars=6000, hash_mode="md5_60"
     ).select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_boilerplate_screen_planted(spark):
+    footer = "this footer appears on every page here"  # 7 tokens -> 3 5-shingles
+    rows = [
+        (1, "alpha beta gamma delta epsilon " + footer),
+        (2, "one two three four five six " + footer),
+        (3, "totally different body text with nothing shared " + footer),
+        (4, "unique document with no shared content at all whatsoever"),
+        (5, "tiny doc"),                      # <5 tokens: no shingles, absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in DD.boilerplate_screen(df, n=5, min_docs=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # the footer's fully-internal 5-shingles appear in all 3 docs
+    assert out[4].n_boiler == 0 and out[4].boiler_frac == 0.0
+    for d in (1, 2, 3):
+        assert out[d].n_boiler >= 3, d
+        assert 0 < out[d].boiler_frac < 1
+    # doc 1: 12 tokens -> 8 shingles; exactly the 3 footer-internal ones hot
+    assert out[1].n_shingles == 8 and out[1].n_boiler == 3
+    assert out[1].boiler_frac == 3 / 8
