@@ -286,6 +286,50 @@ def radius_join_gc(
     )
 
 
+def knn_join_gc(
+    targets: DataFrame,
+    sources: DataFrame,
+    k: int,
+    max_radius_km: float,
+    res: int = 7,
+    max_abs_lat: float = 60.0,
+    t_lat: str = "lat",
+    t_lon: str = "lon",
+    s_lat: str = "lat",
+    s_lon: str = "lon",
+    extra_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Bounded geodesic kNN: the k nearest sources by GREAT-CIRCLE
+    distance within ``max_radius_km`` of each target — the km-metric
+    sibling of :func:`knn_join` (same contract as bounded/radius-
+    limited kNN in ANN systems: neighbors beyond the radius are out of
+    scope by definition, which is what keeps the candidate ring — and
+    therefore the shuffle — bounded at planet scale).
+
+    Candidates come from :func:`radius_join_gc` (cos(lat)-widened ring
+    equi-join + exact haversine refine on the 6-dp-rounded distance);
+    ranking is a per-target window over those candidates only, with a
+    deterministic (distance, lat, lon, *extra_tiebreak) tie-break —
+    pass ``extra_tiebreak`` columns when several sources can share
+    coordinates, so the order is TOTAL and the cut at rank k is
+    reproducible.
+    """
+    pairs = radius_join_gc(
+        targets, sources, max_radius_km, res=res, max_abs_lat=max_abs_lat,
+        t_lat=t_lat, t_lon=t_lon, s_lat=s_lat, s_lon=s_lon,
+    )
+    w = Window.partitionBy(t_lat, t_lon).orderBy(
+        F.col("dist_km_r6").asc(),
+        F.col(f"{s_lat}_src").asc(),
+        F.col(f"{s_lon}_src").asc(),
+        *[F.col(c).asc() for c in (extra_tiebreak or [])],
+    )
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+    )
+
+
 def bilinear_regrid(
     targets: DataFrame,
     sources: DataFrame,

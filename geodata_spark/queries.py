@@ -4202,6 +4202,57 @@ GROUP BY sh.id
 """
 
 
+def q_knn_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded geodesic kNN (knn.knn_join_gc): 4 nearest corpus geo
+    spans by great-circle distance within 200 km of each target,
+    deterministic (distance, lat, lon) tie-break — the km-metric
+    sibling of `knn_neighbors`.  Ring-pruned candidates only; the
+    oracle cross-joins and ranks the same rounded distance."""
+    from geodata_spark import knn
+
+    docs = corpus(spark, sf_dir)
+    pts = spatial.parse_geo_spans(docs).select("lat", "lon", "val")
+    tgts = spark.createDataFrame(_KNN_TGTS, ["lat", "lon"])
+    out = knn.knn_join_gc(
+        tgts, pts, k=4, max_radius_km=200.0, res=7, max_abs_lat=36.0,
+        extra_tiebreak=["val_src"],   # coincident spans differ only in val
+    )
+    return out.select(
+        "lat", "lon",
+        F.col("nn_rank").cast("long").alias("nn_rank"),
+        F.col("lat_src").alias("nn_lat"),
+        F.col("lon_src").alias("nn_lon"),
+        "dist_km_r6",
+        F.col("val_src").alias("nn_val"),
+    )
+
+
+def _knn_gc_sql() -> str:
+    from geodata_spark.knn import haversine_km_sql
+
+    tgts = ", ".join(f"({a!r}, {b!r})" for a, b in _KNN_TGTS)
+    d = haversine_km_sql("t.lat", "t.lon", "s.lat", "s.lon")
+    return f"""
+WITH {_CORPUS_CTE},
+tgts AS (SELECT * FROM (VALUES {tgts}) t(lat, lon)),
+pairs AS (
+  SELECT t.lat, t.lon, s.lat AS nn_lat, s.lon AS nn_lon, s.val AS nn_val,
+         round({d}, 6) AS dist_km_r6
+  FROM tgts t, (SELECT lat, lon, val FROM spansx WHERE kind = 'geo') s
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lat, lon
+                               ORDER BY dist_km_r6 ASC, nn_lat ASC, nn_lon ASC,
+                                        nn_val ASC)
+            AS nn_rank
+  FROM pairs WHERE dist_km_r6 <= 200.0
+)
+SELECT lat, lon, CAST(nn_rank AS BIGINT) AS nn_rank,
+       nn_lat, nn_lon, dist_km_r6, nn_val
+FROM ranked WHERE nn_rank <= 4
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4213,7 +4264,6 @@ GROUP BY sh.id
 QUERIES = {
     "zonal_daily_wavg": q_zonal_daily_wavg,
     "span_sequence": q_span_sequence,
-    "cell_hist": q_cell_hist,
     "zone_cover": q_zone_cover,
     "mask_merge": q_mask_merge,
     "exact_dedup": q_exact_dedup,
@@ -4296,6 +4346,9 @@ QUERIES = {
     # boilerplate screen displaces text_stats (green r01-r05; the text
     # family stays represented by doc_repetition/unigram_logprob/tfidf)
     "boilerplate": q_boilerplate,
+    # geodesic kNN displaces cell_hist (green r01-r05; cell-encode
+    # family stays via hex_cells/hex_rollup in-window)
+    "knn_gc": q_knn_gc,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
     "events_topk_twophase": q_events_topk_twophase,
@@ -4304,6 +4357,7 @@ QUERIES = {
     "multifile_merge": q_multifile_merge,
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
     "text_stats": q_text_stats,
+    "cell_hist": q_cell_hist,
     "wind_power_smoothed": q_wind_power_smoothed,
     "spline_profile": q_spline_profile,
     "cell_cumsum_twophase": q_cell_cumsum,
@@ -4483,4 +4537,5 @@ ORACLES = {
     "mixture_sample": _mixture_sample_sql(),
     "watershed": _watershed_sql(),
     "boilerplate": _BOILERPLATE_SQL,
+    "knn_gc": _knn_gc_sql(),
 }

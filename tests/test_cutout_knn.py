@@ -280,3 +280,51 @@ def test_radius_join_gc_vs_brute_force(spark):
     assert 0 < len(want) < len(srcs)
     # due-east 1.45-deg hit exists: planar dist 1.45 > angular radius 1.35
     assert (24.0, 81.45) in want
+
+
+def test_knn_join_gc_vs_brute_force(spark):
+    """Geodesic kNN equals brute-force haversine ranking, including
+    the case where the planar-degree order and the km order DISAGREE
+    (an east-west neighbor is fewer planar degrees but more km than a
+    north-south one at mid latitude... the reverse: lon degrees are
+    shorter km, so a 1.0-deg-east point is NEARER in km than a
+    0.95-deg-north point at lat 40 — planar ranking gets it wrong)."""
+    import math
+
+    from geodata_spark.knn import knn_join_gc
+    from geodata_spark.zonal import EARTH_R_KM
+
+    def hav(lat1, lon1, lat2, lon2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        h = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2)
+             * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+        return 2 * EARTH_R_KM * math.asin(math.sqrt(min(1.0, h)))
+
+    tgt = (40.0, 80.0)
+    srcs = [
+        (40.95, 80.0),   # 0.95 deg north  ≈ 105.6 km
+        (40.0, 81.0),    # 1.00 deg east   ≈  85.2 km (cos 40 ≈ 0.766)
+        (40.4, 80.4),
+        (41.3, 80.0),
+        (40.0, 82.5),    # beyond planar-naive but test radius covers it
+    ]
+    t = spark.createDataFrame([tgt], ["lat", "lon"])
+    s = spark.createDataFrame(srcs, ["lat", "lon"])
+    got = [
+        (r.nn_rank, r.lat_src, r.lon_src, r.dist_km_r6)
+        for r in knn_join_gc(t, s, k=3, max_radius_km=250.0, res=7,
+                             max_abs_lat=42.0).collect()
+    ]
+    got.sort()
+    want = sorted(
+        (round(hav(*tgt, la, lo), 6), la, lo) for la, lo in srcs
+    )[:3]
+    assert [(g[1], g[2]) for g in got] == [(w[1], w[2]) for w in want]
+    for g, wv in zip(got, want):
+        assert abs(g[3] - wv[0]) < 1e-6
+    # the planar-vs-geodesic disagreement is actually exercised:
+    # the 1.0-deg-east point outranks the 0.95-deg-north point in km
+    # although it is MORE planar degrees away
+    ranks = {(g[1], g[2]): g[0] for g in got}
+    assert ranks[(40.0, 81.0)] < ranks[(40.95, 80.0)]

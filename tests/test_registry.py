@@ -41,7 +41,7 @@ ROTATED_IN_R6 = {
     "geo_radius_gc",
     "semivariogram", "morans_i", "events_funnel", "wind_rose",
     "focal_mean", "gumbel_return", "psi_drift", "mixture_sample",
-    "watershed", "boilerplate",
+    "watershed", "boilerplate", "knn_gc",
 }
 
 
