@@ -126,6 +126,20 @@ NOTES = {
         "prefilter, haversine refine as codegen expressions above the "
         "join — no CartesianProduct"
     ),
+    "knn_gc": (
+        "geodesic kNN: same ring prefilter; rank window over the "
+        "bounded candidate set only, total tie-break"
+    ),
+    "boilerplate": (
+        "boilerplate screen: ONE shingle-keyed shuffle; the hot set "
+        "re-enters as a BroadcastHashJoin (Zipf-small by construction)"
+    ),
+    "watershed": (
+        "watershed: D8 scatter Generate + max_by agg + equi-join (no "
+        "8-way neighbor join); the label rounds are pointer DOUBLING — "
+        "O(log path) equi-joins at runtime, shown here as the d8 + "
+        "first-round shape"
+    ),
 }
 
 
