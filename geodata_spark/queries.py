@@ -4253,6 +4253,188 @@ FROM ranked WHERE nn_rank <= 4
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day
+    (cohort), counted by distinct activity on each later day offset —
+    the standard product-analytics triangle.  Two aggs, both keyed on
+    user/cohort; day arithmetic on date_trunc'd timestamps is exact.
+    ``retained_frac`` is one integer division ⇒ bit-exact oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        ev.distinct()
+        .join(first, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    ret = act.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+    return ret.join(sizes, "cohort_day").select(
+        "cohort_day", "day_offset", "cohort_users", "active_users",
+        (F.col("active_users").cast("double")
+         / F.col("cohort_users").cast("double")).alias("retained_frac"),
+    )
+
+
+_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT) AS day_offset
+  FROM ev e JOIN first f USING (user_id)
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY cohort_day
+),
+ret AS (
+  SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS active_users
+  FROM act GROUP BY cohort_day, day_offset
+)
+SELECT r.cohort_day, r.day_offset, s.cohort_users, r.active_users,
+       CAST(r.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+         AS retained_frac
+FROM ret r JOIN sizes s USING (cohort_day)
+"""
+
+
+def q_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type association (market-basket lift over users): for
+    each ordered pair of distinct event types, lift =
+    (n_both · N) / (n_a · n_b) over per-user type presence.  The
+    numerator/denominator are single integer products, so the one
+    division is bit-exact — no log, no tolerance.  Shapes: per-user
+    distinct types (one agg), pair counts via a self-join on user_id
+    restricted to type_a < type_b (5 types ⇒ ≤10 pairs out), never a
+    cross join of users."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type"
+    ).distinct()
+    n_users = ev.select("user_id").distinct().count()
+    type_n = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a = ev.select("user_id", F.col("event_type").alias("type_a"))
+    b = ev.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    na = type_n.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    nb = type_n.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return both.join(na, "type_a").join(nb, "type_b").select(
+        "type_a", "type_b", "n_a", "n_b", "n_both",
+        ((F.col("n_both") * F.lit(int(n_users))).cast("double")
+         / (F.col("n_a") * F.col("n_b")).cast("double")).alias("lift"),
+    )
+
+
+_EVENT_LIFT_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ev),
+tn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ev GROUP BY event_type
+),
+pairb AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, ta.n_t AS n_a, tb.n_t AS n_b, p.n_both,
+       CAST(p.n_both * nu.n AS DOUBLE) / CAST(ta.n_t * tb.n_t AS DOUBLE)
+         AS lift
+FROM pairb p
+JOIN tn ta ON p.type_a = ta.event_type
+JOIN tn tb ON p.type_b = tb.event_type, nu
+"""
+
+
+def q_zone_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone linear trend: area-weighted zonal-mean temperature per
+    hour (the flagship's weighting), then a closed-form OLS fit
+    y = a + b·hour per zone — the "is this region warming" pre-analysis
+    over the engine's own zonal series.  All reductions are exact
+    dyadic sums EXCEPT the zonal mean's division, so slope/intercept
+    round to 6 dp.  Shapes: grid→zone broadcast cover join, one agg per
+    (zone, hour), then a zone-keyed agg over the tiny series — the
+    same two-shuffle cascade at any scale."""
+    gv = synth_grid_vars(
+        spark, nhours=24, variables=("temperature",)
+    ).select("hour", "lat", "lon", "temperature")
+    cells_z = spatial.join_zones(
+        gv.select("lat", "lon").distinct(), spark, ZONES, res=9
+    ).select("lat", "lon", "zone_id")
+    zoned = gv.join(cells_z, ["lat", "lon"])
+    w = zonal.oracle_area_weight_expr(F.col("lat"))
+    series = zoned.groupBy("zone_id", "hour").agg(
+        (F.sum(w * F.col("temperature")) / F.sum(w)).alias("t_mean")
+    )
+    x = F.col("hour").cast("double")
+    fit = series.groupBy("zone_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("t_mean").alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * F.col("t_mean")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return fit.select(
+        "zone_id", "n",
+        F.round(slope, 6).alias("slope_r6"),
+        F.round(intercept, 6).alias("intercept_r6"),
+    )
+
+
+def _zone_trend_sql() -> str:
+    cte = grid_vars_sql_cte(nhours=24, variables=("temperature",))
+    return f"""
+WITH {cte},
+cellsd AS (SELECT DISTINCT lat, lon FROM gridv),
+zoned AS ({zone_membership_sql('cellsd')}),
+series AS (
+  SELECT z.zone_id, g.hour,
+         sum(((54.25 - g.lat) * 0.015625) * g.temperature)
+           / sum((54.25 - g.lat) * 0.015625) AS t_mean
+  FROM gridv g JOIN zoned z ON g.lat = z.lat AND g.lon = z.lon
+  GROUP BY z.zone_id, g.hour
+),
+fit AS (
+  SELECT zone_id, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(hour AS DOUBLE)) AS sx, sum(t_mean) AS sy,
+         sum(CAST(hour AS DOUBLE) * CAST(hour AS DOUBLE)) AS sxx,
+         sum(CAST(hour AS DOUBLE) * t_mean) AS sxy
+  FROM series GROUP BY zone_id
+)
+SELECT zone_id, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_r6,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept_r6
+FROM fit
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4264,9 +4446,6 @@ FROM ranked WHERE nn_rank <= 4
 QUERIES = {
     "zonal_daily_wavg": q_zonal_daily_wavg,
     "span_sequence": q_span_sequence,
-    "zone_cover": q_zone_cover,
-    "mask_merge": q_mask_merge,
-    "exact_dedup": q_exact_dedup,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
@@ -4349,6 +4528,14 @@ QUERIES = {
     # geodesic kNN displaces cell_hist (green r01-r05; cell-encode
     # family stays via hex_cells/hex_rollup in-window)
     "knn_gc": q_knn_gc,
+    # analytics batch: cohort retention, event-type lift, per-zone
+    # trend fit — displacing zone_cover / mask_merge / exact_dedup
+    # (green r01-r05; zone_stats + zonal_wavg_hex, focal_mean +
+    # terrain_aspect, and dedup_clusters + boilerplate keep those
+    # families in-window)
+    "retention_cohorts": q_retention_cohorts,
+    "event_lift": q_event_lift,
+    "zone_trend": q_zone_trend,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
     "events_topk_twophase": q_events_topk_twophase,
@@ -4358,6 +4545,9 @@ QUERIES = {
     "sql_zonal_daily_wavg": q_sql_zonal_daily_wavg,
     "text_stats": q_text_stats,
     "cell_hist": q_cell_hist,
+    "zone_cover": q_zone_cover,
+    "mask_merge": q_mask_merge,
+    "exact_dedup": q_exact_dedup,
     "wind_power_smoothed": q_wind_power_smoothed,
     "spline_profile": q_spline_profile,
     "cell_cumsum_twophase": q_cell_cumsum,
@@ -4538,4 +4728,7 @@ ORACLES = {
     "watershed": _watershed_sql(),
     "boilerplate": _BOILERPLATE_SQL,
     "knn_gc": _knn_gc_sql(),
+    "retention_cohorts": _RETENTION_SQL,
+    "event_lift": _EVENT_LIFT_SQL,
+    "zone_trend": _zone_trend_sql(),
 }

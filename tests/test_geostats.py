@@ -208,3 +208,73 @@ def test_watershed_pointer_doubling_is_log_rounds(spark):
     labs = {r.x_idx: r.basin for r in ws.collect()}
     assert set(labs.values()) == {0}      # everything drains to x=0
     assert len(labs) == 1000
+
+
+def test_retention_and_lift_semantics(spark):
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from geodata_spark.queries import q_event_lift, q_retention_cohorts
+
+    rows = [
+        # u1: cohort day 0, active days 0,1,3 ; types view+click
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-02 10:00:00"),
+        (1, "view", "2024-01-04 10:00:00"),
+        # u2: cohort day 0, active day 0 only; type view
+        (2, "view", "2024-01-01 11:00:00"),
+        # u3: cohort day 1, active days 1,2; types click+error
+        (3, "click", "2024-01-02 09:00:00"),
+        (3, "error", "2024-01-03 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+    df = df.select("user_id", "event_type", F.to_timestamp("ts").alias("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        ret = {(r.cohort_day.isoformat(), r.day_offset): r
+               for r in q_retention_cohorts(spark, d).collect()}
+        lift = {(r.type_a, r.type_b): r for r in q_event_lift(spark, d).collect()}
+    c0 = "2024-01-01"
+    assert ret[(c0, 0)].cohort_users == 2 and ret[(c0, 0)].active_users == 2
+    assert ret[(c0, 1)].active_users == 1 and ret[(c0, 1)].retained_frac == 0.5
+    assert ret[(c0, 3)].active_users == 1
+    assert ret[("2024-01-02", 0)].cohort_users == 1
+    assert ret[("2024-01-02", 1)].active_users == 1
+    # lift: N=3 users; view:2 click:2 error:1; (click,view) both=1 ->
+    # 1*3/(2*2)=0.75 ; (click,error) both=1 -> 1*3/(2*1)=1.5
+    assert lift[("click", "view")].lift == 0.75
+    assert lift[("click", "error")].lift == 1.5
+    assert ("error", "view") not in lift  # no co-occurrence -> no row
+
+
+def test_zone_trend_matches_numpy_ols(spark):
+    import numpy as np
+
+    from geodata_spark.queries import q_zone_trend
+
+    rows = q_zone_trend(spark, "unused").collect()
+    assert len(rows) >= 2            # full grid spans multiple zones
+    # rebuild one zone's series with numpy and polyfit it
+    from geodata_spark.synth import synth_grid_vars
+    from geodata_spark.spatial import join_zones
+    from geodata_spark.zones import ZONES
+    import pyspark.sql.functions as F
+
+    gv = synth_grid_vars(spark, nhours=24, variables=("temperature",)).select(
+        "hour", "lat", "lon", "temperature"
+    )
+    z = join_zones(gv.select("lat", "lon").distinct(), spark, ZONES, res=9)
+    zid = rows[0].zone_id
+    pdf = (
+        gv.join(z.filter(F.col("zone_id") == zid).select("lat", "lon"), ["lat", "lon"])
+        .toPandas()
+    )
+    pdf["w"] = (54.25 - pdf.lat) * 0.015625
+    s = pdf.groupby("hour").apply(
+        lambda g: (g.w * g.temperature).sum() / g.w.sum()
+    )
+    b, a = np.polyfit(s.index.to_numpy(float), s.to_numpy(), 1)
+    got = {r.zone_id: r for r in rows}[zid]
+    assert abs(got.slope_r6 - b) < 1e-5 and abs(got.intercept_r6 - a) < 1e-4
+    assert got.n == 24
