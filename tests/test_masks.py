@@ -316,3 +316,30 @@ def test_focal_mean_3x3_matches_numpy(spark):
     assert out[(3, 5)].focal_n == 9
     # hole neighbor: 8 cells (hole excluded, not bridged-over)
     assert out[(2, 2)].focal_n == 8
+
+
+def test_hillshade_range_and_orientation(spark):
+    """Hillshade ∈ [0,1]; a NW-facing slope (sun side, azimuth 315°)
+    is brighter than the SE-facing mirror of the same gradient."""
+    from geodata_spark.queries import _hillshade_expr
+
+    import pyspark.sql.functions as F
+
+    # gradients: dzdx>0, dzdy<0 tilts the surface toward NW (normal
+    # points -x,+y ... sanity-check relative ordering only) and its
+    # mirror; plus flat terrain -> cos(45°)
+    # aspect = atan2(dzdy, -dzdx): (-1,-1) faces the 315-deg sun,
+    # (1,1) faces directly away; (0,0) is flat
+    df = spark.createDataFrame(
+        [(-1.0, -1.0), (1.0, 1.0), (0.0, 0.0)], "dzdx double, dzdy double"
+    )
+    out = [
+        r.h for r in df.select(
+            F.round(F.expr(_hillshade_expr("dzdx", "dzdy")), 6).alias("h")
+        ).collect()
+    ]
+    import math
+
+    assert all(0.0 <= h <= 1.0 for h in out)
+    assert out[2] == round(math.cos(math.radians(45.0)), 6)   # flat
+    assert out[0] > out[2] > out[1]    # sun side > flat > shade side

@@ -42,7 +42,7 @@ ROTATED_IN_R6 = {
     "semivariogram", "morans_i", "events_funnel", "wind_rose",
     "focal_mean", "gumbel_return", "psi_drift", "mixture_sample",
     "watershed", "boilerplate", "knn_gc",
-    "retention_cohorts", "event_lift", "zone_trend",
+    "retention_cohorts", "event_lift", "zone_trend", "hillshade",
 }
 
 
