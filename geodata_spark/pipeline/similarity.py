@@ -283,3 +283,137 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine_r6"))
     )
+
+
+def kmeans_lloyd(
+    vecs: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, built to be
+    CROSS-ENGINE DETERMINISTIC (semantic clustering for corpus mixing
+    / near-dup triage — the unsupervised sibling of ivf_topk's
+    assignment step, which reuses the same broadcast-centroid shape).
+
+    Determinism recipe (what makes a DuckDB oracle possible for an
+    iterative float algorithm):
+    - init = the k smallest ids' vectors, components rounded to 6 dp;
+    - distances rounded to 6 dp BEFORE the argmin, ties on centroid
+      index — fold-order ulps (~1e-15) vanish under the 5e-7 grain,
+      so both engines make identical assignments;
+    - each round's new centroids are per-dim means ROUNDED to 6 dp, so
+      the next round starts from bit-identical literals in both
+      engines (unrounded means differ in ulps by aggregation order and
+      would cascade through assignments).
+
+    Scale shape: centroids are MODEL-sized (k·dim doubles) — collected
+    to the driver each round and re-broadcast as literals (the k-means
+    pattern on any engine); per round the data is touched twice (one
+    codegen assignment pass, one posexplode + (cluster, dim) hash agg
+    whose output is k·dim rows).  No shuffle ever carries the vectors
+    except the dim-keyed agg, and iters is a fixed small constant.
+
+    Returns (id, cluster, d2_r6) for the final assignment.
+    """
+    emb = vecs.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    cents = [
+        [round(float(c), 6) for c in r.v]
+        for r in emb.orderBy("id").limit(k).collect()
+    ]
+
+    def dist2(cent: list) -> "F.Column":
+        diffs = F.zip_with("v", F.lit(cent), lambda x, c: (x - c) * (x - c))
+        return F.round(
+            F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x), 6
+        )
+
+    assigned = None
+    for _ in range(iters):
+        choices = F.array(*[
+            F.struct(dist2(c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(cents)
+        ])
+        assigned = emb.withColumn("_best", F.array_min(choices)).select(
+            "id", "v",
+            F.col("_best.j").alias("cluster"),
+            F.col("_best.d").alias("d2_r6"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        new = {j: [0.0] * len(cents[0]) for j in range(k)}
+        seen = set()
+        for r in means:
+            new[r.cluster][r.i] = r.m
+            seen.add(r.cluster)
+        # empty cluster keeps its previous centroid (deterministic)
+        cents = [new[j] if j in seen else cents[j] for j in range(k)]
+    return assigned.select("id", F.col("cluster").cast("long").alias("cluster"),
+                           "d2_r6")
+
+
+def kmeans_lloyd_sql(
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmeans_lloyd`: the rounds are UNROLLED as
+    CTE blocks (assignment = cross join × row_number; update = per-dim
+    mean via an index series, re-assembled with list(ORDER BY i))."""
+    d2 = ("round(list_sum(list_transform(list_zip(v, c), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)")
+    blocks = [f"""
+ev AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS j,
+         list_transform(v, x -> round(x, 6)) AS c
+  FROM (SELECT id, v FROM ev ORDER BY id LIMIT {k})
+)"""]
+    for r in range(iters):
+        blocks.append(f"""
+p{r} AS (
+  SELECT ev.id, ev.v, c{r}.j, {d2} AS d2
+  FROM ev, c{r}
+),
+a{r} AS (
+  SELECT id, v, j AS cluster, d2,
+         row_number() OVER (PARTITION BY id ORDER BY d2 ASC, j ASC) AS rn
+  FROM p{r}
+)""")
+        if r < iters - 1:
+            blocks.append(f"""
+m{r} AS (
+  SELECT cluster, g.i AS i, round(avg(v[g.i]), 6) AS m
+  FROM (SELECT * FROM a{r} WHERE rn = 1),
+       unnest(generate_series(1, {dim}, 1)) AS g(i)
+  GROUP BY cluster, g.i
+),
+c{r + 1} AS (
+  SELECT prev.j,
+         coalesce(mm.c, prev.c) AS c
+  FROM c{r} prev
+  LEFT JOIN (SELECT cluster AS j, list(m ORDER BY i) AS c
+             FROM m{r} GROUP BY cluster) mm USING (j)
+)""")
+    body = ",".join(blocks)
+    last = iters - 1
+    return f"""
+WITH {body}
+SELECT id AS {id_col}, CAST(cluster AS BIGINT) AS cluster, d2 AS d2_r6
+FROM a{last} WHERE rn = 1
+"""

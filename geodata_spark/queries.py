@@ -4504,6 +4504,18 @@ FROM d WHERE dzdx IS NOT NULL AND dzdy IS NOT NULL
 """
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table
+    (similarity.kmeans_lloyd, k=4, 3 rounds): cross-engine-
+    deterministic via 6-dp-rounded distances before the argmin and
+    6-dp-rounded centroids between rounds — the recipe that makes an
+    ORACLE possible for an iterative float algorithm (the unrolled
+    DuckDB twin recomputes every round independently)."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.kmeans_lloyd(vecs, k=4, iters=3)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "d2_r6")
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4520,7 +4532,6 @@ QUERIES = {
     "media_features": q_media_features,
     "doc_quantiles": q_doc_quantiles,
     "hex_cells": q_hex_cells,
-    "events_asof_binned": q_events_asof_binned,
     "hex_rollup": q_hex_rollup,
     "hex_rollup_multi": q_hex_rollup_multi,
     "hex_knn": q_hex_knn,
@@ -4606,6 +4617,9 @@ QUERIES = {
     "zone_trend": q_zone_trend,
     # hillshade displaces zone_cover -> tail (re-listed there)
     "hillshade": q_hillshade,
+    # deterministic Lloyd k-means displaces events_asof_binned (green
+    # r05; both as-of variants now tail-locked with shared history)
+    "kmeans": q_kmeans,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
     "events_topk_twophase": q_events_topk_twophase,
@@ -4616,6 +4630,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "cell_hist": q_cell_hist,
     "plot_timeseries": q_plot_timeseries,
+    "events_asof_binned": q_events_asof_binned,
     "zone_cover": q_zone_cover,
     "mask_merge": q_mask_merge,
     "exact_dedup": q_exact_dedup,
@@ -4803,4 +4818,5 @@ ORACLES = {
     "event_lift": _EVENT_LIFT_SQL,
     "zone_trend": _zone_trend_sql(),
     "hillshade": _hillshade_sql(),
+    "kmeans": SIM.kmeans_lloyd_sql(k=4, iters=3),
 }

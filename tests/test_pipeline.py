@@ -718,3 +718,37 @@ def test_boilerplate_screen_planted(spark):
     # doc 1: 12 tokens -> 8 shingles; exactly the 3 footer-internal ones hot
     assert out[1].n_shingles == 8 and out[1].n_boiler == 3
     assert out[1].boiler_frac == 3 / 8
+
+
+def test_kmeans_lloyd_determinism_and_blob_recovery(spark, vecs):
+    """Determinism (bit-identical re-run), Lloyd improvement over the
+    init assignment, and EXACT recovery of well-separated planted
+    blobs (the driver embeddings' labels are near-noise — same-label
+    mean cosine 0.02 — so recovery is tested on a separable set)."""
+    out = SIM.kmeans_lloyd(vecs, k=10, iters=4).toPandas()
+    out2 = SIM.kmeans_lloyd(vecs, k=10, iters=4).toPandas()
+    a = out.sort_values("id").reset_index(drop=True)
+    b = out2.sort_values("id").reset_index(drop=True)
+    assert (a.cluster == b.cluster).all() and (a.d2_r6 == b.d2_r6).all()
+    # quality: mean within-cluster distance beats the 1-round baseline
+    base = SIM.kmeans_lloyd(vecs, k=10, iters=1).toPandas()
+    assert out.d2_r6.mean() < base.d2_r6.mean()
+    # planted blobs: 3 tight clusters at distance >> radius -> perfect
+    # recovery regardless of the naive first-k init
+    rng = np.random.RandomState(5)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.uniform(-0.5, 0.5, 4)
+        rows.append((i, [float(x) for x in np.round(v, 4)], c))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = SIM.kmeans_lloyd(df, k=3, iters=4).toPandas().merge(
+        df.select("vec_id", "label").toPandas(), left_on="id", right_on="vec_id"
+    )
+    # one-to-one cluster<->label mapping, zero impurity
+    tab = got.groupby(["cluster", "label"]).size().unstack(fill_value=0)
+    assert (tab.gt(0).sum(axis=1) == 1).all()
+    assert tab.to_numpy().sum() == 90
