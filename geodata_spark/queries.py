@@ -4383,7 +4383,9 @@ def q_zone_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells_z = spatial.join_zones(
         gv.select("lat", "lon").distinct(), spark, ZONES, res=9
     ).select("lat", "lon", "zone_id")
-    zoned = gv.join(cells_z, ["lat", "lon"])
+    # membership is one row per cell — tiny next to the (cell × hour)
+    # fact at any scale, so broadcast it rather than shuffling the fact
+    zoned = gv.join(F.broadcast(cells_z), ["lat", "lon"])
     w = zonal.oracle_area_weight_expr(F.col("lat"))
     series = zoned.groupBy("zone_id", "hour").agg(
         (F.sum(w * F.col("temperature")) / F.sum(w)).alias("t_mean")

@@ -278,3 +278,22 @@ def test_zone_trend_matches_numpy_ols(spark):
     got = {r.zone_id: r for r in rows}[zid]
     assert abs(got.slope_r6 - b) < 1e-5 and abs(got.intercept_r6 - a) < 1e-4
     assert got.n == 24
+
+
+def test_geostats_plan_shapes(spark):
+    """Scale-shape pins: semivariogram and Moran's I have NO pair
+    join anywhere (lead windows only); zone_trend's membership join is
+    a broadcast."""
+    from geodata_spark.geostats import morans_i, semivariogram
+    from geodata_spark.queries import q_zone_trend
+    from geodata_spark.synth import synth_grid_vars
+
+    gv = synth_grid_vars(spark, nhours=2, ny=4, nx=4, variables=("temperature",))
+    for df in (semivariogram(gv, "temperature", max_lag=2),
+               morans_i(gv, "temperature")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only join allowed is Moran's tiny 48-row aggregate pairing
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        assert "Generate explode" in plan or "Window" in plan
+    p = q_zone_trend(spark, "unused")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
