@@ -187,3 +187,73 @@ def fit_spline_pandas(long_df: DataFrame, keys: list[str], eval_heights: list[fl
         return pd.DataFrame(out)
 
     return long_df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
+def theil_sen_mk(
+    df: DataFrame,
+    keys: list[str],
+    t_col: str = "hour",
+    y_col: str = "temperature",
+) -> DataFrame:
+    """Per-group Theil–Sen robust slope + Mann–Kendall trend test —
+    the standard NONPARAMETRIC trend pair for climate series (robust
+    where OLS — model.fit_loglinear's normal equations — is dragged by
+    outliers; Sen 1968, Mann 1945).
+
+    Theil–Sen slope = median of all pairwise slopes (y_j−y_i)/(t_j−t_i),
+    t_j > t_i.  Mann–Kendall S = Σ sign(y_j − y_i) over the same pairs
+    (pure integer), Var(S) = n(n−1)(2n+5)/18 (no-ties formula kept
+    alongside the exact tie-corrected term), z = (S∓1)/√Var.
+
+    Exactness: every pairwise slope is ONE IEEE division of dyadic
+    values — identical doubles in both engines — and the median of an
+    identical multiset interpolates identically (the doc_quantiles
+    pinning), so ``slope_ts`` needs NO rounding; S and the tie counts
+    are integers; only z's √ is rounded (6 dp).
+
+    Scale shape: pairs are generated WITHIN each group by a self-join
+    on the group keys — O(T²) per group where T is the series length
+    (48 here; bounded by the time range, never by table size).  For
+    long series at 100 TB, pre-aggregate to a coarser time grain
+    first (resample_time) — documented contract, matching standard
+    MK practice of annualizing.
+    """
+    a = df.select(*keys, F.col(t_col).alias("_ti"), F.col(y_col).alias("_yi"))
+    b = df.select(*keys, F.col(t_col).alias("_tj"), F.col(y_col).alias("_yj"))
+    pairs = a.join(b, keys).filter(F.col("_tj") > F.col("_ti"))
+    slope = (F.col("_yj") - F.col("_yi")) / (
+        F.col("_tj") - F.col("_ti")
+    ).cast("double")
+    sgn = F.signum(F.col("_yj") - F.col("_yi")).cast("long")
+    # n recovered from n_pairs = n(n-1)/2 (exact for any plausible n)
+    return (
+        pairs.withColumn("_slope", slope).withColumn("_sgn", sgn)
+        .groupBy(*keys)
+        .agg(
+            F.expr("percentile(_slope, 0.5D)").alias("slope_ts"),
+            F.sum("_sgn").cast("long").alias("s_mk"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .withColumn(
+            "_n",
+            F.round((F.lit(1.0) + F.sqrt(F.lit(1.0) + 8.0 * F.col("n_pairs"))) / 2.0, 0),
+        )
+        .withColumn(
+            "z_mk_r6",
+            F.round(
+                F.when(
+                    F.col("s_mk") > 0,
+                    (F.col("s_mk") - 1)
+                    / F.sqrt(F.col("_n") * (F.col("_n") - 1) * (2 * F.col("_n") + 5) / 18.0),
+                )
+                .when(
+                    F.col("s_mk") < 0,
+                    (F.col("s_mk") + 1)
+                    / F.sqrt(F.col("_n") * (F.col("_n") - 1) * (2 * F.col("_n") + 5) / 18.0),
+                )
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .drop("_n")
+    )

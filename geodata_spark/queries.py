@@ -4518,6 +4518,51 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "cluster", "d2_r6")
 
 
+def q_theilsen_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Theil–Sen robust slope + Mann–Kendall trend test
+    (model.theil_sen_mk) over the temperature series — the
+    nonparametric twin of `model_fit_loglinear`.  Pairwise slopes are
+    single IEEE divisions of dyadics ⇒ the median needs NO rounding;
+    S and pair counts are integers; only z's √ rounds (6 dp)."""
+    from geodata_spark import model as MD
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    return MD.theil_sen_mk(gv, ["lat", "lon"])
+
+
+_THEILSEN_SQL = f"""
+WITH {_GV_CTE},
+pairsx AS (
+  SELECT a.lat, a.lon,
+         (b.temperature - a.temperature) / CAST(b.hour - a.hour AS DOUBLE)
+           AS slope,
+         CAST(sign(b.temperature - a.temperature) AS BIGINT) AS sgn
+  FROM gridv a
+  JOIN gridv b ON a.lat = b.lat AND a.lon = b.lon AND b.hour > a.hour
+),
+agg AS (
+  SELECT lat, lon,
+         quantile_cont(slope, 0.5) AS slope_ts,
+         CAST(sum(sgn) AS BIGINT) AS s_mk,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairsx GROUP BY lat, lon
+)
+SELECT lat, lon, slope_ts, s_mk, n_pairs,
+       round(CASE
+         WHEN s_mk > 0 THEN (s_mk - 1) / sqrt(
+           round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0)
+           * (round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0) - 1)
+           * (2 * round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0) + 5) / 18.0)
+         WHEN s_mk < 0 THEN (s_mk + 1) / sqrt(
+           round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0)
+           * (round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0) - 1)
+           * (2 * round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0) + 5) / 18.0)
+         ELSE 0.0
+       END, 6) AS z_mk_r6
+FROM agg
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4533,7 +4578,6 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
     "doc_quantiles": q_doc_quantiles,
-    "hex_cells": q_hex_cells,
     "hex_rollup": q_hex_rollup,
     "hex_rollup_multi": q_hex_rollup_multi,
     "hex_knn": q_hex_knn,
@@ -4622,6 +4666,9 @@ QUERIES = {
     # deterministic Lloyd k-means displaces events_asof_binned (green
     # r05; both as-of variants now tail-locked with shared history)
     "kmeans": q_kmeans,
+    # Theil-Sen/Mann-Kendall displaces hex_cells (green r01-r05; four
+    # hex queries remain in-window)
+    "theilsen_mk": q_theilsen_mk,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
     "events_topk_twophase": q_events_topk_twophase,
@@ -4633,6 +4680,7 @@ QUERIES = {
     "cell_hist": q_cell_hist,
     "plot_timeseries": q_plot_timeseries,
     "events_asof_binned": q_events_asof_binned,
+    "hex_cells": q_hex_cells,
     "zone_cover": q_zone_cover,
     "mask_merge": q_mask_merge,
     "exact_dedup": q_exact_dedup,
@@ -4821,4 +4869,5 @@ ORACLES = {
     "zone_trend": _zone_trend_sql(),
     "hillshade": _hillshade_sql(),
     "kmeans": SIM.kmeans_lloyd_sql(k=4, iters=3),
+    "theilsen_mk": _THEILSEN_SQL,
 }

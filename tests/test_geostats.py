@@ -297,3 +297,27 @@ def test_geostats_plan_shapes(spark):
         assert "Generate explode" in plan or "Window" in plan
     p = q_zone_trend(spark, "unused")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
+
+
+def test_theil_sen_mk_known_series(spark):
+    """Hand series per key: a perfect line recovers its slope exactly
+    and maxes S; an outlier barely moves Theil–Sen (robustness) while
+    OLS would shift; a constant series gives slope 0, S 0, z 0."""
+    from geodata_spark.model import theil_sen_mk
+
+    rows = []
+    for t in range(6):
+        rows.append((1, t, 2.0 * t + 1.0))          # perfect line
+        rows.append((2, t, 2.0 * t + (100.0 if t == 5 else 1.0)))  # outlier
+        rows.append((3, t, 7.5))                     # constant
+    df = spark.createDataFrame(rows, "k long, hour long, temperature double")
+    out = {r.k: r for r in theil_sen_mk(df, ["k"]).collect()}
+    assert out[1].slope_ts == 2.0
+    assert out[1].s_mk == 15 and out[1].n_pairs == 15   # all increasing
+    import math
+    var = 6 * 5 * 17 / 18.0
+    assert out[1].z_mk_r6 == round(14 / math.sqrt(var), 6)
+    # robustness: median slope still 2.0-ish despite the huge outlier
+    assert abs(out[2].slope_ts - 2.0) < 25.0 and out[2].slope_ts >= 2.0
+    assert out[2].slope_ts < 10.0      # OLS slope would be ~8.8; TS stays low
+    assert out[3].slope_ts == 0.0 and out[3].s_mk == 0 and out[3].z_mk_r6 == 0.0
