@@ -4563,6 +4563,44 @@ FROM agg
 """
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell CUSUM change-point (temporal.cusum_changepoint):
+    argmax_t |Σ_{u≤t}(y−ȳ)| on the temperature series.  EXACT oracle
+    with NO rounding — ordered prefix sums are bit-identical even on
+    non-dyadic deviations because both engines add the same numbers in
+    the same order; ties break to earliest t."""
+    from geodata_spark import temporal as TP
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    return TP.cusum_changepoint(gv, ["lat", "lon"])
+
+
+_CUSUM_SQL = f"""
+WITH {_GV_CTE},
+d AS (
+  SELECT lat, lon, hour, temperature,
+         avg(temperature) OVER (PARTITION BY lat, lon) AS m,
+         count(*) OVER (PARTITION BY lat, lon) AS n
+  FROM gridv
+),
+s AS (
+  SELECT lat, lon, hour, n,
+         sum(temperature - m) OVER (PARTITION BY lat, lon ORDER BY hour
+                                    ROWS UNBOUNDED PRECEDING) AS cs
+  FROM d
+),
+r AS (
+  SELECT lat, lon, hour, n, abs(cs) AS a,
+         row_number() OVER (PARTITION BY lat, lon
+                            ORDER BY abs(cs) DESC, hour ASC) AS rn
+  FROM s
+)
+SELECT lat, lon, CAST(hour AS BIGINT) AS t_star, a AS cusum_abs,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4576,7 +4614,6 @@ QUERIES = {
     "span_sequence": q_span_sequence,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "media_features": q_media_features,
     "doc_quantiles": q_doc_quantiles,
     "hex_rollup": q_hex_rollup,
     "hex_rollup_multi": q_hex_rollup_multi,
@@ -4669,6 +4706,9 @@ QUERIES = {
     # Theil-Sen/Mann-Kendall displaces hex_cells (green r01-r05; four
     # hex queries remain in-window)
     "theilsen_mk": q_theilsen_mk,
+    # CUSUM displaces media_features (green r01-r05; media family
+    # history locked across media_features/media_dedup/media_text_match)
+    "cusum_changepoint": q_cusum_changepoint,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
     "events_topk_twophase": q_events_topk_twophase,
@@ -4681,6 +4721,7 @@ QUERIES = {
     "plot_timeseries": q_plot_timeseries,
     "events_asof_binned": q_events_asof_binned,
     "hex_cells": q_hex_cells,
+    "media_features": q_media_features,
     "zone_cover": q_zone_cover,
     "mask_merge": q_mask_merge,
     "exact_dedup": q_exact_dedup,
@@ -4870,4 +4911,5 @@ ORACLES = {
     "hillshade": _hillshade_sql(),
     "kmeans": SIM.kmeans_lloyd_sql(k=4, iters=3),
     "theilsen_mk": _THEILSEN_SQL,
+    "cusum_changepoint": _CUSUM_SQL,
 }

@@ -291,3 +291,51 @@ def interval_join(
         ]
     )
     return j.filter(overlap & (F.col("_bin") == anchor)).select(*out_cols)
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    keys: list[str],
+    t_col: str = "hour",
+    y_col: str = "temperature",
+) -> DataFrame:
+    """Per-group CUSUM change-point detector: the t maximizing
+    |Σ_{u≤t} (y_u − ȳ)| — the classic Page/Pettitt-style level-shift
+    screen a sensor-QA pass runs per grid cell.
+
+    EXACT oracle with no rounding: the group mean is ONE division of
+    an order-independent sum (exact for dyadic inputs — non-dyadic
+    inputs would need a rounding step here), deviations are therefore
+    identical, and the cumulative sum is an ORDERED prefix — both
+    engines add the same numbers in the same order, so even though the
+    values are non-dyadic the trajectory is bit-identical (contrast
+    unordered aggregates, which need dyadic inputs to be
+    order-independent).  Tie on |S| breaks to the earliest t.
+
+    Shapes: one window pass computes mean, prefix sum and the ranking
+    (all share the per-group partitioning — a single Exchange), then a
+    filter keeps rank 1.  Output: keys + t_star, cusum_abs, n.
+    """
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy(*keys)
+    wo = Window.partitionBy(*keys).orderBy(t_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = df.withColumn("_m", F.avg(y_col).over(wg)).withColumn(
+        "_s", F.sum(F.col(y_col) - F.col("_m")).over(wo)
+    )
+    wr = Window.partitionBy(*keys).orderBy(
+        F.abs(F.col("_s")).desc(), F.col(t_col).asc()
+    )
+    return (
+        d.withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") == 1)
+        .select(
+            *keys,
+            F.col(t_col).cast("long").alias("t_star"),
+            F.abs(F.col("_s")).alias("cusum_abs"),
+            F.col("_n").cast("long").alias("n"),
+        )
+    )

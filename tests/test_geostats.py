@@ -321,3 +321,20 @@ def test_theil_sen_mk_known_series(spark):
     assert abs(out[2].slope_ts - 2.0) < 25.0 and out[2].slope_ts >= 2.0
     assert out[2].slope_ts < 10.0      # OLS slope would be ~8.8; TS stays low
     assert out[3].slope_ts == 0.0 and out[3].s_mk == 0 and out[3].z_mk_r6 == 0.0
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    """A planted level shift at t=30 is found exactly; a constant
+    series has cusum 0 with the earliest-t tie-break."""
+    from geodata_spark.temporal import cusum_changepoint
+
+    rows = []
+    for t in range(60):
+        rows.append((1, t, 10.0 if t < 30 else 20.0))   # shift AFTER t=29
+        rows.append((2, t, 5.0))                        # constant
+    df = spark.createDataFrame(rows, "k long, hour long, temperature double")
+    out = {r.k: r for r in cusum_changepoint(df, ["k"]).collect()}
+    # mean = 15; |S| peaks at the last pre-shift index (t = 29), |S| = 150
+    assert out[1].t_star == 29 and out[1].cusum_abs == 150.0
+    assert out[1].n == 60
+    assert out[2].t_star == 0 and out[2].cusum_abs == 0.0
