@@ -175,14 +175,20 @@ def conservative_regrid(
     ix = F.round((F.col("lon") - F.lit(lon0)) / F.lit(dlon)).cast("long")
     d = df.withColumn("_ylo", iy * sy).withColumn("_xlo", ix * sx)
     # overlapped target range per axis: floor(lo/t) .. floor((hi-1)/t)
-    # (half-open cells ⇒ every index in range has overlap ≥ 1 unit)
+    # (half-open cells ⇒ every index in range has overlap ≥ 1 unit).
+    # FLOOR division, not `div` (which truncates toward zero): a grid
+    # origin above the data's minimum produces negative edges, and
+    # truncation would zero their weights and break conservation.
+    def fdiv(expr: str, den: int) -> "F.Column":
+        return F.expr(f"(({expr}) - pmod(({expr}), {den})) div {den}")
+
     d = d.withColumn(
         "_jy", F.explode(F.sequence(
-            F.expr(f"_ylo div {ty}"), F.expr(f"(_ylo + {sy - 1}) div {ty}")
+            fdiv("_ylo", ty), fdiv(f"_ylo + {sy - 1}", ty)
         ))
     ).withColumn(
         "_jx", F.explode(F.sequence(
-            F.expr(f"_xlo div {tx}"), F.expr(f"(_xlo + {sx - 1}) div {tx}")
+            fdiv("_xlo", tx), fdiv(f"_xlo + {sx - 1}", tx)
         ))
     )
     wy = F.least(F.col("_ylo") + sy, (F.col("_jy") + 1) * ty) - F.greatest(

@@ -66,6 +66,8 @@ pipelines inside the scan stage like the S2/grid encoders.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -637,9 +639,17 @@ def hex7_polyfill(rings: list[np.ndarray], res: int) -> tuple[np.ndarray, np.nda
     las = np.linspace(lat0, lat1, 9)
     los = np.linspace(lon0, lon1, 9)
     gla, glo = np.meshgrid(las, los, indexing="ij")
-    # faces whose lattice a point in the (padded) bbox might use:
-    # 2-cell margin, cell size ~ RES0_U/sqrt7^res radians
-    margin = 2.5 * _RES0_U * _SQRT7 ** (-res)
+    # faces whose lattice a point in the (padded) bbox might use.
+    # hex7_faces_np guarantees a point p's argmax face is inside a
+    # sample's mask only when margin >= 2*dist(p, sample), so the
+    # margin must scale with the 9x9 SAMPLE SPACING (a fixed cell-size
+    # margin under-covers large zones near icosahedron face edges and
+    # would silently drop member points from the cover) — plus the
+    # 2-cell term for the lattice fuzz itself
+    samp_diag = math.radians(
+        math.hypot((lat1 - lat0) / 8.0, (lon1 - lon0) / 8.0)
+    )
+    margin = 2.5 * _RES0_U * _SQRT7 ** (-res) + samp_diag
     faces = np.nonzero(hex7_faces_np(gla.ravel(), glo.ravel(), margin).any(axis=0))[0]
 
     fulls, bounds = [], []

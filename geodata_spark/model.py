@@ -202,13 +202,19 @@ def theil_sen_mk(
 
     Theil–Sen slope = median of all pairwise slopes (y_j−y_i)/(t_j−t_i),
     t_j > t_i.  Mann–Kendall S = Σ sign(y_j − y_i) over the same pairs
-    (pure integer), Var(S) = n(n−1)(2n+5)/18 (no-ties formula kept
-    alongside the exact tie-corrected term), z = (S∓1)/√Var.
+    (pure integer), with the standard TIE-CORRECTED variance
+    Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 over the
+    y-value tie groups g; z = (S∓1)/√Var, 0 when Var ≤ 0 (all values
+    tied).  ``n`` is counted from the input, never inverted from the
+    pair count, so duplicate timestamps cannot corrupt the variance
+    (same-t pairs are excluded from S and the slope set, the
+    conservative convention; for heavy time-duplication resample
+    first).
 
     Exactness: every pairwise slope is ONE IEEE division of dyadic
     values — identical doubles in both engines — and the median of an
     identical multiset interpolates identically (the doc_quantiles
-    pinning), so ``slope_ts`` needs NO rounding; S and the tie counts
+    pinning), so ``slope_ts`` needs NO rounding; S, n and the tie term
     are integers; only z's √ is rounded (6 dp).
 
     Scale shape: pairs are generated WITHIN each group by a self-join
@@ -216,7 +222,8 @@ def theil_sen_mk(
     (48 here; bounded by the time range, never by table size).  For
     long series at 100 TB, pre-aggregate to a coarser time grain
     first (resample_time) — documented contract, matching standard
-    MK practice of annualizing.
+    MK practice of annualizing.  The n/tie aggregates are keyed the
+    same way and join a group-count-sized table.
     """
     a = df.select(*keys, F.col(t_col).alias("_ti"), F.col(y_col).alias("_yi"))
     b = df.select(*keys, F.col(t_col).alias("_tj"), F.col(y_col).alias("_yj"))
@@ -225,8 +232,7 @@ def theil_sen_mk(
         F.col("_tj") - F.col("_ti")
     ).cast("double")
     sgn = F.signum(F.col("_yj") - F.col("_yi")).cast("long")
-    # n recovered from n_pairs = n(n-1)/2 (exact for any plausible n)
-    return (
+    pagg = (
         pairs.withColumn("_slope", slope).withColumn("_sgn", sgn)
         .groupBy(*keys)
         .agg(
@@ -234,26 +240,25 @@ def theil_sen_mk(
             F.sum("_sgn").cast("long").alias("s_mk"),
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
         )
-        .withColumn(
-            "_n",
-            F.round((F.lit(1.0) + F.sqrt(F.lit(1.0) + 8.0 * F.col("n_pairs"))) / 2.0, 0),
+    )
+    t = F.col("_t")
+    ties = (
+        df.groupBy(*keys, y_col).agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("_t").cast("long").alias("n"),
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("tie_term"),
         )
-        .withColumn(
-            "z_mk_r6",
-            F.round(
-                F.when(
-                    F.col("s_mk") > 0,
-                    (F.col("s_mk") - 1)
-                    / F.sqrt(F.col("_n") * (F.col("_n") - 1) * (2 * F.col("_n") + 5) / 18.0),
-                )
-                .when(
-                    F.col("s_mk") < 0,
-                    (F.col("s_mk") + 1)
-                    / F.sqrt(F.col("_n") * (F.col("_n") - 1) * (2 * F.col("_n") + 5) / 18.0),
-                )
-                .otherwise(F.lit(0.0)),
-                6,
-            ),
-        )
-        .drop("_n")
+    )
+    j = pagg.join(ties, keys)
+    n = F.col("n")
+    var = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double") / 18.0
+    z = (
+        F.when((F.col("s_mk") > 0) & (var > 0), (F.col("s_mk") - 1) / F.sqrt(var))
+        .when((F.col("s_mk") < 0) & (var > 0), (F.col("s_mk") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        *keys, "slope_ts", "s_mk", "n_pairs", "n",
+        F.round(z, 6).alias("z_mk_r6"),
     )

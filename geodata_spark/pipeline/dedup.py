@@ -624,19 +624,22 @@ def _cc_star(pairs: DataFrame, id_a: str, id_b: str, max_iter: int) -> DataFrame
     xxhash checksum — deterministic, no full subtract join).
     """
     # materialize ONCE: `pairs` is usually an expensive unexecuted plan
-    # (the MinHash/LSH band join); nodes derive from the checkpoint
-    edges = (
+    # (the MinHash/LSH band join).  Nodes derive from the canonical
+    # pair set BEFORE the reflexive filter, so a node that appears
+    # only in self-pairs (id_a == id_b) still labels itself — the
+    # hashmin method's behavior
+    canon = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    edges = canon.filter(F.col("u") != F.col("v"))
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )

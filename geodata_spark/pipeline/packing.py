@@ -302,9 +302,6 @@ def mixture_sample(
     """
     from pyspark.sql.functions import broadcast
 
-    w = F.lit(0)
-    for name, pct in sorted(weights_pct.items()):
-        w = F.when(F.col(domain_col) == name, F.lit(int(pct))).otherwise(w)
     dom = docs.groupBy(domain_col).agg(
         F.sum(size_col).cast("long").alias("_t")
     )

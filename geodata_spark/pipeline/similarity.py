@@ -325,6 +325,10 @@ def kmeans_lloyd(
         [round(float(c), 6) for c in r.v]
         for r in emb.orderBy("id").limit(k).collect()
     ]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_lloyd: k={k} exceeds the input's {len(cents)} rows"
+        )
 
     def dist2(cent: list) -> "F.Column":
         diffs = F.zip_with("v", F.lit(cent), lambda x, c: (x - c) * (x - c))

@@ -3564,10 +3564,16 @@ srcu AS (
   FROM gridv
 ),
 ex AS (
+  -- floor division spelled exactly (// truncates toward zero in
+  -- DuckDB just like Spark's div): (a - ((a % d + d) % d)) // d
   SELECT hour, temperature, wnd100m, ylo, xlo, jy.j AS jy, jx.j AS jx
   FROM srcu,
-       unnest(generate_series(ylo // 12, (ylo + 7) // 12, 1)) AS jy(j),
-       unnest(generate_series(xlo // 16, (xlo + 9) // 16, 1)) AS jx(j)
+       unnest(generate_series((ylo - ((ylo % 12 + 12) % 12)) // 12,
+                              ((ylo + 7) - (((ylo + 7) % 12 + 12) % 12)) // 12,
+                              1)) AS jy(j),
+       unnest(generate_series((xlo - ((xlo % 16 + 16) % 16)) // 16,
+                              ((xlo + 9) - (((xlo + 9) % 16 + 16) % 16)) // 16,
+                              1)) AS jx(j)
 ),
 wtd AS (
   SELECT hour, jy, jx, temperature, wnd100m,
@@ -4324,7 +4330,12 @@ def q_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_type"
     ).distinct()
-    n_users = ev.select("user_id").distinct().count()
+    # LAZY total-user count: a broadcast 1-row aggregate (the
+    # events_funnel pattern), so constructing this DataFrame — plan
+    # dumps, EXPLAIN, registry iteration — runs no Spark job
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
     type_n = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_t")
     )
@@ -4338,10 +4349,14 @@ def q_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = type_n.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
     nb = type_n.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
-    return both.join(na, "type_a").join(nb, "type_b").select(
-        "type_a", "type_b", "n_a", "n_b", "n_both",
-        ((F.col("n_both") * F.lit(int(n_users))).cast("double")
-         / (F.col("n_a") * F.col("n_b")).cast("double")).alias("lift"),
+    return (
+        both.join(na, "type_a").join(nb, "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            ((F.col("n_both") * F.col("n_users")).cast("double")
+             / (F.col("n_a") * F.col("n_b")).cast("double")).alias("lift"),
+        )
     )
 
 
@@ -4540,26 +4555,35 @@ pairsx AS (
   FROM gridv a
   JOIN gridv b ON a.lat = b.lat AND a.lon = b.lon AND b.hour > a.hour
 ),
-agg AS (
+pagg AS (
   SELECT lat, lon,
          quantile_cont(slope, 0.5) AS slope_ts,
          CAST(sum(sgn) AS BIGINT) AS s_mk,
          CAST(count(*) AS BIGINT) AS n_pairs
   FROM pairsx GROUP BY lat, lon
+),
+tiec AS (
+  SELECT lat, lon, CAST(count(*) AS BIGINT) AS t
+  FROM gridv GROUP BY lat, lon, temperature
+),
+tagg AS (
+  SELECT lat, lon, CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM tiec GROUP BY lat, lon
+),
+j AS (
+  SELECT p.lat, p.lon, p.slope_ts, p.s_mk, p.n_pairs, t.n,
+         CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term AS DOUBLE) / 18.0
+           AS var
+  FROM pagg p JOIN tagg t ON p.lat = t.lat AND p.lon = t.lon
 )
-SELECT lat, lon, slope_ts, s_mk, n_pairs,
+SELECT lat, lon, slope_ts, s_mk, n_pairs, n,
        round(CASE
-         WHEN s_mk > 0 THEN (s_mk - 1) / sqrt(
-           round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0)
-           * (round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0) - 1)
-           * (2 * round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0) + 5) / 18.0)
-         WHEN s_mk < 0 THEN (s_mk + 1) / sqrt(
-           round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0)
-           * (round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0) - 1)
-           * (2 * round((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0, 0) + 5) / 18.0)
+         WHEN s_mk > 0 AND var > 0 THEN (s_mk - 1) / sqrt(var)
+         WHEN s_mk < 0 AND var > 0 THEN (s_mk + 1) / sqrt(var)
          ELSE 0.0
        END, 6) AS z_mk_r6
-FROM agg
+FROM j
 """
 
 

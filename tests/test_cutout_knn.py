@@ -328,3 +328,20 @@ def test_knn_join_gc_vs_brute_force(spark):
     # although it is MORE planar degrees away
     ranks = {(g[1], g[2]): g[0] for g in got}
     assert ranks[(40.0, 81.0)] < ranks[(40.95, 80.0)]
+
+
+def test_conservative_regrid_negative_edges_conserve(spark):
+    """Regression: a grid origin ABOVE the data's minimum produces
+    negative integer edges — floor (not truncate-toward-zero) division
+    must still conserve total mass and emit the negative target row."""
+    from geodata_spark.cutout import conservative_regrid
+
+    rows = [(0, 18.25 + 0.5 * y, 73.3125 + 0.625 * x, 16.0 + y + x)
+            for y in range(-2, 3) for x in range(-2, 3)]
+    df = spark.createDataFrame(rows, "hour long, lat double, lon double, v double")
+    out = conservative_regrid(
+        df, dt_lat=0.75, dt_lon=1.0, value_cols=["v"], unit=0.0625
+    ).toPandas()
+    assert out.jy.min() < 0 and out.jx.min() < 0
+    assert out.w_units.sum() == 25 * 8 * 10              # total mass conserved
+    assert (out.w_units * out.v).sum() == sum(r[3] for r in rows) * 80.0

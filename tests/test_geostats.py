@@ -310,13 +310,20 @@ def test_theil_sen_mk_known_series(spark):
         rows.append((1, t, 2.0 * t + 1.0))          # perfect line
         rows.append((2, t, 2.0 * t + (100.0 if t == 5 else 1.0)))  # outlier
         rows.append((3, t, 7.5))                     # constant
+    # tied-y series: S and the tie-corrected variance both exact
+    for t, y in enumerate([0.0, 1.0, 1.0, 2.0]):
+        rows.append((4, t, y))
     df = spark.createDataFrame(rows, "k long, hour long, temperature double")
     out = {r.k: r for r in theil_sen_mk(df, ["k"]).collect()}
-    assert out[1].slope_ts == 2.0
+    assert out[1].slope_ts == 2.0 and out[1].n == 6
     assert out[1].s_mk == 15 and out[1].n_pairs == 15   # all increasing
     import math
     var = 6 * 5 * 17 / 18.0
     assert out[1].z_mk_r6 == round(14 / math.sqrt(var), 6)
+    # k=4: S=5, tie group of size 2 -> var = (4*3*13 - 2*1*9)/18
+    assert out[4].s_mk == 5 and out[4].n == 4
+    var4 = (156 - 18) / 18.0
+    assert out[4].z_mk_r6 == round(4 / math.sqrt(var4), 6)
     # robustness: median slope still 2.0-ish despite the huge outlier
     assert abs(out[2].slope_ts - 2.0) < 25.0 and out[2].slope_ts >= 2.0
     assert out[2].slope_ts < 10.0      # OLS slope would be ~8.8; TS stays low

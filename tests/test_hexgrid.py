@@ -348,3 +348,26 @@ def test_parent_expr_matches_numpy(spark):
     assert [r.t5 for r in got] == list(want_t5)
     assert [r.p4 for r in got] == list(want_p4)
     assert [r.t3 for r in got] == want_t3
+
+
+def test_polyfill_membership_exact_large_zone():
+    """Regression for the face-enumeration margin: a LARGE (24-degree)
+    polygon whose bbox samples sit far apart must still produce an
+    exact cover — a fixed cell-size margin under-covers face-edge
+    straddling zones (the margin now scales with the sample spacing)."""
+    from geodata_spark import geometry
+
+    big = [np.array([
+        [60.0, 10.0], [84.0, 12.0], [82.0, 34.0], [58.0, 30.0],
+    ])]
+    full, bound = H.hex7_polyfill(big, 5)
+    fset, bset = set(full.tolist()), set(bound.tolist())
+    rng = np.random.default_rng(11)
+    pla = rng.uniform(8.0, 36.0, 6000)
+    plo = rng.uniform(56.0, 86.0, 6000)
+    truth = geometry.points_in_rings(plo, pla, big)
+    cells_ = H.hex7_id_np(pla, plo, 5)
+    for n in range(len(pla)):
+        c = int(cells_[n])
+        via = (c in fset) or ((c in bset) and bool(truth[n]))
+        assert via == bool(truth[n]), (pla[n], plo[n])

@@ -752,3 +752,15 @@ def test_kmeans_lloyd_determinism_and_blob_recovery(spark, vecs):
     tab = got.groupby(["cluster", "label"]).size().unstack(fill_value=0)
     assert (tab.gt(0).sum(axis=1) == 1).all()
     assert tab.to_numpy().sum() == 90
+
+
+def test_cc_star_keeps_self_pair_only_nodes(spark):
+    """Regression: a node appearing only in reflexive pairs must label
+    itself under BOTH methods (star used to drop it)."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    for method in ("star", "hashmin"):
+        out = {r.node: r.component
+               for r in DD.connected_components(pairs, method=method).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 5: 5}, method
