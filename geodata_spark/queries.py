@@ -4625,6 +4625,50 @@ FROM r WHERE rn = 1
 """
 
 
+_DIURNAL_COS = "cos(3.141592653589793 * hour / 12.0)"
+_DIURNAL_SIN = "sin(3.141592653589793 * hour / 12.0)"
+
+
+def q_diurnal_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell harmonic analysis: amplitude and phase of the diurnal
+    (24 h) Fourier component of temperature — the single-bin DFT
+    (Goertzel shape) a gridded-weather user runs to map the diurnal
+    cycle's strength.  With N=48 hours the diurnal bin is k=2:
+    c = Σx·cos(πt/12), s = Σx·sin(πt/12), amp = (2/N)·√(c²+s²),
+    phase = atan2(−s, c).  ONE hash agg; the cos/sin text is shared
+    verbatim with the oracle and everything downstream of the libm
+    calls rounds to 6 dp (cell_area rule)."""
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    c = F.sum(F.col("temperature") * F.expr(_DIURNAL_COS))
+    s = F.sum(F.col("temperature") * F.expr(_DIURNAL_SIN))
+    agg = gv.groupBy("lat", "lon").agg(
+        c.alias("_c"), s.alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    amp = 2.0 * F.sqrt(F.col("_c") * F.col("_c") + F.col("_s") * F.col("_s")) / F.col("n")
+    return agg.select(
+        "lat", "lon", "n",
+        F.round(amp, 6).alias("amp_r6"),
+        F.round(F.atan2(-F.col("_s"), F.col("_c")), 6).alias("phase_r6"),
+    )
+
+
+_DIURNAL_SQL = f"""
+WITH {_GV_CTE},
+agg AS (
+  SELECT lat, lon,
+         sum(temperature * {_DIURNAL_COS}) AS c,
+         sum(temperature * {_DIURNAL_SIN}) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM gridv GROUP BY lat, lon
+)
+SELECT lat, lon, n,
+       round(2.0 * sqrt(c * c + s * s) / n, 6) AS amp_r6,
+       round(atan2(-s, c), 6) AS phase_r6
+FROM agg
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4637,7 +4681,6 @@ QUERIES = {
     "zonal_daily_wavg": q_zonal_daily_wavg,
     "span_sequence": q_span_sequence,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
-    "ann_ivf_topk": q_ann_ivf_topk,
     "doc_quantiles": q_doc_quantiles,
     "hex_rollup": q_hex_rollup,
     "hex_rollup_multi": q_hex_rollup_multi,
@@ -4733,6 +4776,9 @@ QUERIES = {
     # CUSUM displaces media_features (green r01-r05; media family
     # history locked across media_features/media_dedup/media_text_match)
     "cusum_changepoint": q_cusum_changepoint,
+    # diurnal harmonic displaces ann_ivf_topk (green r02-r05; ANN
+    # family history locked, kmeans + bench recall keep vectors live)
+    "diurnal_harmonic": q_diurnal_harmonic,
     # --- tail: green in CORRECTNESS_r01-r05, rotated out of the
     # --- driver's 50-row window (history locked) -------------------
     "events_topk_twophase": q_events_topk_twophase,
@@ -4746,6 +4792,7 @@ QUERIES = {
     "events_asof_binned": q_events_asof_binned,
     "hex_cells": q_hex_cells,
     "media_features": q_media_features,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "zone_cover": q_zone_cover,
     "mask_merge": q_mask_merge,
     "exact_dedup": q_exact_dedup,
@@ -4936,4 +4983,5 @@ ORACLES = {
     "kmeans": SIM.kmeans_lloyd_sql(k=4, iters=3),
     "theilsen_mk": _THEILSEN_SQL,
     "cusum_changepoint": _CUSUM_SQL,
+    "diurnal_harmonic": _DIURNAL_SQL,
 }

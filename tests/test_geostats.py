@@ -345,3 +345,31 @@ def test_cusum_changepoint_planted_shift(spark):
     assert out[1].t_star == 29 and out[1].cusum_abs == 150.0
     assert out[1].n == 60
     assert out[2].t_star == 0 and out[2].cusum_abs == 0.0
+
+
+def test_diurnal_harmonic_planted_sine(spark):
+    """A planted pure 24 h sine recovers its amplitude and phase to
+    rounding; a constant field has zero diurnal amplitude."""
+    import math
+
+    from geodata_spark.queries import _DIURNAL_COS, _DIURNAL_SIN
+
+    import pyspark.sql.functions as F
+
+    rows = []
+    for t in range(48):
+        rows.append((1.0, 1.0, t, 10.0 + 3.0 * math.cos(math.pi * t / 12.0 - 0.5)))
+        rows.append((2.0, 2.0, t, 7.25))
+    df = spark.createDataFrame(rows, "lat double, lon double, hour long, temperature double")
+    c = F.sum(F.col("temperature") * F.expr(_DIURNAL_COS))
+    s = F.sum(F.col("temperature") * F.expr(_DIURNAL_SIN))
+    agg = df.groupBy("lat", "lon").agg(c.alias("c"), s.alias("s"),
+                                       F.count(F.lit(1)).alias("n"))
+    out = {r.lat: r for r in agg.select(
+        "lat",
+        (2.0 * F.sqrt(F.col("c")**2 + F.col("s")**2) / F.col("n")).alias("amp"),
+        F.atan2(-F.col("s"), F.col("c")).alias("ph"),
+    ).collect()}
+    assert abs(out[1.0].amp - 3.0) < 1e-9
+    assert abs(out[1.0].ph - (-0.5)) < 1e-9     # cos(wt - 0.5) -> phase -0.5
+    assert abs(out[2.0].amp) < 1e-9

@@ -43,7 +43,7 @@ ROTATED_IN_R6 = {
     "focal_mean", "gumbel_return", "psi_drift", "mixture_sample",
     "watershed", "boilerplate", "knn_gc",
     "retention_cohorts", "event_lift", "zone_trend", "hillshade",
-    "kmeans", "theilsen_mk", "cusum_changepoint",
+    "kmeans", "theilsen_mk", "cusum_changepoint", "diurnal_harmonic",
 }
 
 
