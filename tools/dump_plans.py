@@ -140,6 +140,19 @@ NOTES = {
         "O(log path) equi-joins at runtime, shown here as the d8 + "
         "first-round shape"
     ),
+    "theilsen_mk": (
+        "Theil-Sen/MK: within-group pair self-join (O(T^2) per series, "
+        "T bounded by the time grain), plus two group-keyed aggregates "
+        "for the exact n and the tie correction — no global blowup"
+    ),
+    "cusum_changepoint": (
+        "CUSUM: mean, ordered prefix sum and the ranking all share ONE "
+        "per-group window partitioning — a single Exchange"
+    ),
+    "diurnal_harmonic": (
+        "single-bin DFT: cos/sin products are codegen expressions over "
+        "the scan; one map-side-combined hash agg, nothing else"
+    ),
 }
 
 
