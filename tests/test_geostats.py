@@ -272,7 +272,8 @@ def test_zone_trend_matches_numpy_ols(spark):
     )
     pdf["w"] = (54.25 - pdf.lat) * 0.015625
     s = pdf.groupby("hour").apply(
-        lambda g: (g.w * g.temperature).sum() / g.w.sum()
+        lambda g: (g.w * g.temperature).sum() / g.w.sum(),
+        include_groups=False,
     )
     b, a = np.polyfit(s.index.to_numpy(float), s.to_numpy(), 1)
     got = {r.zone_id: r for r in rows}[zid]
