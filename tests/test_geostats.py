@@ -374,3 +374,50 @@ def test_diurnal_harmonic_planted_sine(spark):
     assert abs(out[1.0].amp - 3.0) < 1e-9
     assert abs(out[1.0].ph - (-0.5)) < 1e-9     # cos(wt - 0.5) -> phase -0.5
     assert abs(out[2.0].amp) < 1e-9
+
+
+def test_wind_rose_conservation_and_numpy_twin(spark):
+    """Every (hour, cell) sample lands in exactly one (sector, class)
+    bucket, and a numpy reimplementation of the octant + speed rules
+    agrees bucket-for-bucket on a sampled cell."""
+    import numpy as np
+
+    from geodata_spark.queries import _GV_DIMS, q_wind_rose
+    from geodata_spark.synth import synth_grid_vars
+
+    out = q_wind_rose(spark, "unused").toPandas()
+    n_cells = _GV_DIMS["ny"] * _GV_DIMS["nx"]
+    assert out.n.sum() == _GV_DIMS["nhours"] * n_cells        # conservation
+    gv = synth_grid_vars(spark, **_GV_DIMS).select(
+        "lat", "lon", "ulml", "vlml", "wnd100m"
+    ).toPandas()
+    cell = gv.iloc[0][["lat", "lon"]]
+    sub = gv[(gv.lat == cell.lat) & (gv.lon == cell.lon)]
+    t = 0.41421356237309503
+
+    def sector(u, v):
+        dx, dy = -u, -v
+        if dx == 0.0 and dy == 0.0:
+            return "flat"
+        if abs(dy) <= abs(dx) * t:
+            return "E" if dx > 0 else "W"
+        if abs(dx) <= abs(dy) * t:
+            return "N" if dy > 0 else "S"
+        if dx > 0 and dy > 0:
+            return "NE"
+        if dx < 0 and dy > 0:
+            return "NW"
+        return "SE" if dx > 0 else "SW"
+
+    def sclass(s):
+        return ("calm[0,10)" if s < 10 else
+                "moderate[10,20)" if s < 20 else "strong[20,∞)")
+
+    want = {}
+    for _, r in sub.iterrows():
+        k = (sector(r.ulml, r.vlml), sclass(r.wnd100m))
+        c, ssum = want.get(k, (0, 0.0))
+        want[k] = (c + 1, ssum + r.wnd100m)
+    got = out[(out.lat == cell.lat) & (out.lon == cell.lon)]
+    assert {(r.sector, r.speed_class): (r.n, r.speed_sum)
+            for _, r in got.iterrows()} == want
