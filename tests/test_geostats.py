@@ -421,3 +421,37 @@ def test_wind_rose_conservation_and_numpy_twin(spark):
     got = out[(out.lat == cell.lat) & (out.lon == cell.lon)]
     assert {(r.sector, r.speed_class): (r.n, r.speed_sum)
             for _, r in got.iterrows()} == want
+
+
+def test_seasonal_decompose_reconstruction(spark):
+    """trend + seasonal + resid == temperature exactly on interior
+    rows; a pure 24 h periodic signal decomposes to flat trend and
+    zero residual."""
+    import math
+
+    from geodata_spark.queries import q_seasonal_decompose
+
+    out = q_seasonal_decompose(spark, "unused").toPandas()
+    # interior hours only: 12..35 on the 48 h series
+    assert out.hour.min() == 12 and out.hour.max() == 35
+    rec = out.trend + out.seasonal + out.resid
+    assert (rec == out.temperature).all()          # exact reconstruction
+    # planted pure periodic signal: trend flat at the offset, resid ~0
+    from geodata_spark.cutout import Cutout  # noqa: F401 (import check)
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        (1.0, 1.0, t, 5.0 + math.sin(2 * math.pi * (t % 24) / 24.0))
+        for t in range(72)
+    ]
+    df = spark.createDataFrame(rows, "lat double, lon double, hour long, temperature double")
+    import geodata_spark.queries as Q
+
+    wo = Window.partitionBy("lat", "lon").orderBy("hour")
+    w1, w2 = wo.rowsBetween(-12, 11), wo.rowsBetween(-11, 12)
+    full = (F.count(F.lit(1)).over(w1) == 24) & (F.count(F.lit(1)).over(w2) == 24)
+    trend = F.when(full, (F.sum("temperature").over(w1)
+                          + F.sum("temperature").over(w2)) / 48.0)
+    d = df.withColumn("trend", trend).filter(F.col("trend").isNotNull()).toPandas()
+    assert (abs(d.trend - 5.0) < 1e-9).all()      # MA removes the cycle
