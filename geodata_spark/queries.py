@@ -4735,6 +4735,114 @@ FROM d
 """
 
 
+def q_cell_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Pearson correlation between temperature and wind speed
+    — the variable-coupling screen run before building joint models.
+    Closed form from five EXACT dyadic reductions (Σx, Σy, Σxy, Σx²,
+    Σy²); only the final √ rounds (6 dp).  ONE hash agg."""
+    gv = _gv(spark).select("lat", "lon", "temperature", "wnd100m")
+    x, y = F.col("temperature"), F.col("wnd100m")
+    agg = gv.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "lat", "lon", "n",
+        F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6).alias("r_r6"),
+    )
+
+
+_CELL_CORR_SQL = f"""
+WITH {_GV_CTE},
+agg AS (
+  SELECT lat, lon, CAST(count(*) AS BIGINT) AS n,
+         sum(temperature) AS sx, sum(wnd100m) AS sy,
+         sum(temperature * wnd100m) AS sxy,
+         sum(temperature * temperature) AS sxx,
+         sum(wnd100m * wnd100m) AS syy
+  FROM gridv GROUP BY lat, lon
+)
+SELECT lat, lon, n,
+       round(CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  ELSE 0.0 END, 6) AS r_r6
+FROM agg
+"""
+
+
+def q_cell_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell autocorrelation function at lags 1..6 (the multi-lag
+    generalization of `cell_autocorr`): r_h = Σ(z_t−m)(z_{t+h}−m) /
+    Σ(z_t−m)², lag pairs from ONE lead-window pass (the semivariogram
+    machinery on the time axis — no self-join).  m is exact (dyadic
+    sums, one division); the deviation products are non-dyadic so r_h
+    rounds to 6 dp."""
+    from pyspark.sql.window import Window
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    wg = Window.partitionBy("lat", "lon")
+    wo = Window.partitionBy("lat", "lon").orderBy("hour")
+    d = gv.withColumn("_m", F.avg("temperature").over(wg)).withColumn(
+        "_z", F.col("temperature") - F.col("_m")
+    )
+    leads = d.select(
+        "lat", "lon", "_z",
+        F.sum(F.col("_z") * F.col("_z")).over(wg).alias("_den"),
+        *[F.lead("_z", h).over(wo).alias(f"_z{h}") for h in range(1, 7)],
+    )
+    pairs = F.array(*[
+        F.struct(F.lit(h).alias("h"), F.col(f"_z{h}").alias("zl"))
+        for h in range(1, 7)
+    ])
+    ex = leads.select(
+        "lat", "lon", "_z", "_den", F.explode(pairs).alias("p")
+    ).filter(F.col("p.zl").isNotNull())
+    return ex.groupBy("lat", "lon", F.col("p.h").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("_z") * F.col("p.zl")) / F.min("_den"), 6
+        ).alias("acf_r6"),
+    )
+
+
+_CELL_ACF_SQL = f"""
+WITH {_GV_CTE},
+d AS (
+  SELECT lat, lon, hour,
+         temperature - avg(temperature) OVER (PARTITION BY lat, lon) AS z
+  FROM gridv
+),
+led AS (
+  SELECT lat, lon, z,
+         sum(z * z) OVER (PARTITION BY lat, lon) AS den,
+         lead(z, 1) OVER w AS z1, lead(z, 2) OVER w AS z2,
+         lead(z, 3) OVER w AS z3, lead(z, 4) OVER w AS z4,
+         lead(z, 5) OVER w AS z5, lead(z, 6) OVER w AS z6
+  FROM d
+  WINDOW w AS (PARTITION BY lat, lon ORDER BY hour)
+),
+ex AS (
+  SELECT lat, lon, z, den, g.h AS h,
+         CASE g.h WHEN 1 THEN z1 WHEN 2 THEN z2 WHEN 3 THEN z3
+                  WHEN 4 THEN z4 WHEN 5 THEN z5 ELSE z6 END AS zl
+  FROM led, unnest(generate_series(1, 6, 1)) AS g(h)
+)
+SELECT lat, lon, CAST(h AS BIGINT) AS h,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(z * zl) / min(den), 6) AS acf_r6
+FROM ex WHERE zl IS NOT NULL
+GROUP BY lat, lon, h
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -4916,6 +5024,8 @@ QUERIES = {
     "zonal_grouping_sets": q_zonal_grouping_sets,
     # tail addition (r6, judge-verifiable via tools/oracle_compare):
     "seasonal_decompose": q_seasonal_decompose,
+    "cell_corr": q_cell_corr,
+    "cell_acf": q_cell_acf,
 }
 
 ORACLES = {
@@ -5053,4 +5163,6 @@ ORACLES = {
     "cusum_changepoint": _CUSUM_SQL,
     "diurnal_harmonic": _DIURNAL_SQL,
     "seasonal_decompose": _SEASONAL_SQL,
+    "cell_corr": _CELL_CORR_SQL,
+    "cell_acf": _CELL_ACF_SQL,
 }

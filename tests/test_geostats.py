@@ -455,3 +455,30 @@ def test_seasonal_decompose_reconstruction(spark):
                           + F.sum("temperature").over(w2)) / 48.0)
     d = df.withColumn("trend", trend).filter(F.col("trend").isNotNull()).toPandas()
     assert (abs(d.trend - 5.0) < 1e-9).all()      # MA removes the cycle
+
+
+def test_cell_corr_and_acf_numpy(spark):
+    """Pearson r and ACF against numpy on one reconstructed cell."""
+    import numpy as np
+
+    from geodata_spark.queries import _GV_DIMS, q_cell_acf, q_cell_corr
+    from geodata_spark.synth import synth_grid_vars
+
+    gv = synth_grid_vars(spark, **_GV_DIMS).select(
+        "hour", "lat", "lon", "temperature", "wnd100m"
+    ).toPandas()
+    cell = gv.iloc[0][["lat", "lon"]]
+    sub = gv[(gv.lat == cell.lat) & (gv.lon == cell.lon)].sort_values("hour")
+    corr = {(r.lat, r.lon): r for r in q_cell_corr(spark, "unused").collect()}
+    want_r = np.corrcoef(sub.temperature, sub.wnd100m)[0, 1]
+    got = corr[(cell.lat, cell.lon)]
+    assert got.n == len(sub) and abs(got.r_r6 - want_r) < 1e-6
+
+    acf = {(r.lat, r.lon, r.h): r for r in q_cell_acf(spark, "unused").collect()}
+    z = sub.temperature.to_numpy() - sub.temperature.mean()
+    den = (z**2).sum()
+    for h in (1, 3, 6):
+        want = (z[:-h] * z[h:]).sum() / den
+        row = acf[(cell.lat, cell.lon, h)]
+        assert row.n_pairs == len(z) - h
+        assert abs(row.acf_r6 - want) < 1e-6, h
