@@ -4853,8 +4853,15 @@ GROUP BY lat, lon, h
 # pins that every key outside the window is listed there.
 QUERIES = {
     "zonal_daily_wavg": q_zonal_daily_wavg,
-    "span_sequence": q_span_sequence,
-    "tpch_bigjoin_revenue": q_tpch_bigjoin,
+    # rotated IN round 7 (VERDICT r6 "Next round" #1): the three
+    # round-6 tail additions take their first driver row.  Displaced
+    # to the tail: span_sequence (6 green driver rows r1-r6),
+    # tpch_bigjoin_revenue (5 green rows), and cell_autocorr (green
+    # r6; strictly generalized by cell_acf, which covers lag 1 among
+    # its 4 lags — the in-window family survivor).
+    "seasonal_decompose": q_seasonal_decompose,
+    "cell_corr": q_cell_corr,
+    "cell_acf": q_cell_acf,
     "doc_quantiles": q_doc_quantiles,
     "hex_rollup": q_hex_rollup,
     "hex_rollup_multi": q_hex_rollup_multi,
@@ -4876,7 +4883,6 @@ QUERIES = {
     "rolling_mean": q_rolling_mean,
     "zone_stats": q_zone_stats,
     "table_stats": q_table_stats,
-    "cell_autocorr": q_cell_autocorr,
     "events_ntile": q_events_ntile,
     # new round 6 (late batch): overlapping doc chunking, corpus
     # bigrams, robust per-cell outliers, trig-free aspect octants,
@@ -5022,10 +5028,10 @@ QUERIES = {
     "events_topk": q_events_topk,
     "events_sessions": q_events_sessions,
     "zonal_grouping_sets": q_zonal_grouping_sets,
-    # tail addition (r6, judge-verifiable via tools/oracle_compare):
-    "seasonal_decompose": q_seasonal_decompose,
-    "cell_corr": q_cell_corr,
-    "cell_acf": q_cell_acf,
+    # rotated OUT round 7 (long-locked greens; see window comment):
+    "span_sequence": q_span_sequence,
+    "tpch_bigjoin_revenue": q_tpch_bigjoin,
+    "cell_autocorr": q_cell_autocorr,
 }
 
 ORACLES = {

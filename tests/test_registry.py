@@ -22,11 +22,18 @@ from geodata_spark.queries import ORACLES, QUERIES
 DRIVER_WINDOW = 50
 REPO = Path(__file__).resolve().parents[1]
 
-# round 6 (VERDICT r5 "Next round" #1/#2): queries that MUST be inside
-# the driver window this round — new (hex_knn, zonal_wavg_hex), newly
-# oracle-paired (hex_rollup), never driver-swept (tfidf_top_terms), or
-# re-implemented this round (dedup_clusters star contraction,
-# doc_quantiles approx twin)
+# round 7 (VERDICT r6 "Next round" #1): the round-6 tail trio takes
+# its first driver row.  Displaced to the tail: span_sequence (6 green
+# driver rows r1-r6), tpch_bigjoin_revenue (5 green rows, r6 among
+# them), cell_autocorr (green r6; cell_acf — in-window — strictly
+# generalizes it, covering lag 1 among its 4 lags).
+ROTATED_IN_R7 = {
+    "seasonal_decompose", "cell_corr", "cell_acf",
+}
+
+# round-7 window survivors that must NOT silently fall out: every
+# query that earned its only green driver row in r6 keeps its seat
+# until it has locked history (two driver rows) or a family survivor.
 ROTATED_IN_R6 = {
     "hex_rollup", "hex_knn", "zonal_wavg_hex",
     "tfidf_top_terms", "dedup_clusters", "doc_quantiles",
@@ -34,7 +41,7 @@ ROTATED_IN_R6 = {
     "regrid_bilinear", "climatology_anomaly", "geo_radius",
     "events_sessions_swin", "terrain_slope",
     "events_pivot", "rolling_mean", "zone_stats", "table_stats",
-    "cell_autocorr", "events_ntile",
+    "events_ntile",
     "doc_chunks", "top_bigrams", "cell_mad_outliers",
     "terrain_aspect", "cell_ewma",
     "regrid_conservative", "doc_repetition", "unigram_logprob",
@@ -64,9 +71,9 @@ def test_unswept_keys_are_documented():
     )
 
 
-def test_round6_rotation_inside_window():
+def test_round7_rotation_inside_window():
     window = set(list(QUERIES)[:DRIVER_WINDOW])
-    out = ROTATED_IN_R6 - window
+    out = (ROTATED_IN_R7 | ROTATED_IN_R6) - window
     assert not out, f"rotated-in queries fell back out of the window: {sorted(out)}"
 
 
