@@ -371,3 +371,42 @@ def test_polyfill_membership_exact_large_zone():
         c = int(cells_[n])
         via = (c in fset) or ((c in bset) and bool(truth[n]))
         assert via == bool(truth[n]), (pla[n], plo[n])
+
+
+# Candidate-volume pins (VERDICT r6 "Next round" #6).  The hex join's
+# scale risk is silent candidate inflation: a res/margin tweak that
+# doubles the polyfill cover or widens the kNN disk would still be
+# CORRECT (the membership contract is exact, the disk is a superset)
+# but would double shuffle volume at 100 TB.  Exact counts are pinned
+# so any such change fails loudly and must re-justify its cost here.
+POLYFILL_COVER_R5 = {
+    # zone: (full cells, boundary cells) at res 5
+    "north_rect": (93327, 8845),
+    "south_rect": (159182, 11497),
+    "east_tri": (46735, 5812),
+    "coast_l": (33580, 5121),
+    "islands": (1207, 1243),
+}
+
+
+def test_polyfill_cover_volume_pinned():
+    from geodata_spark.spatial import ZONES
+
+    got = {}
+    for zid, rings in ZONES.items():
+        full, bound = H.hex7_polyfill(rings, 5)
+        got[zid] = (len(full), len(bound))
+    assert got == POLYFILL_COVER_R5, got
+
+
+def test_hex_knn_disk_candidate_volume_pinned():
+    """hex_knn joins each target against its 2-ring disk at res 3:
+    exactly 1 + 3k(k+1) = 19 distinct candidate cells per interior
+    target — the per-row join fan-out that bounds shuffle volume."""
+    ids = H.hex7_id_np(
+        np.array([20.0, 30.0, 45.0]), np.array([10.0, 60.0, 100.0]), 3
+    )
+    d = H.hex7_local_disk_np(ids, 2, res=3)
+    assert d.shape == (3, 19)
+    for row in d:
+        assert len(np.unique(row)) == 19
