@@ -315,29 +315,113 @@ def merra2_prepare(df: DataFrame) -> DataFrame:
     return out
 
 
+def _netcdf3_cutout(
+    path: str,
+    bounds: tuple[float, float, float, float] | None,
+) -> tuple[dict, dict]:
+    """Classic-NetCDF half of :func:`read_netcdf`: parse with the
+    in-repo pure-Python reader (:mod:`geodata_spark.netcdf3`), apply
+    the same coord canonicalization / ascending-lat normalize / bbox
+    subset the xarray path applies, return (coords, cubes) for
+    :func:`gridded_to_table`."""
+    import warnings
+
+    from geodata_spark import netcdf3 as nc3
+
+    _dims, _gatts, vars_ = nc3.read_nc3(path)
+    renames = {**CANON_RENAMES, "valid_time": "ts"}
+
+    def canon(n: str) -> str:
+        return renames.get(n, n)
+
+    by_canon = {}
+    for name, v in vars_.items():
+        by_canon[canon(name)] = {
+            "dims": tuple(canon(d) for d in v["dims"]),
+            "data": v["data"],
+            "atts": v["atts"],
+        }
+    for need in ("ts", "lat", "lon"):
+        if need not in by_canon:
+            raise ValueError(f"{path}: no {need!r} coordinate variable")
+
+    ts = by_canon["ts"]["data"]
+    units = by_canon["ts"]["atts"].get("units")
+    if units is not None and not np.issubdtype(np.asarray(ts).dtype, np.datetime64):
+        ts = nc3.decode_cf_time(ts, units)
+    lat = np.asarray(by_canon["lat"]["data"], dtype=np.float64)
+    lon = np.asarray(by_canon["lon"]["data"], dtype=np.float64)
+
+    # CDS-downloaded ERA5 stores latitude DESCENDING (90 → -90);
+    # normalize to ascending before the bbox subset, like the
+    # reference's _rename_and_clean_coords
+    lat_sel = np.argsort(lat, kind="stable") if (
+        lat.size > 1 and lat[0] > lat[-1]
+    ) else np.arange(lat.size)
+    lat = lat[lat_sel]
+    keep_lat = np.ones(lat.size, dtype=bool)
+    keep_lon = np.ones(lon.size, dtype=bool)
+    if bounds is not None:
+        lat_min, lat_max, lon_min, lon_max = bounds
+        keep_lat = (lat >= lat_min - 0.1) & (lat <= lat_max + 0.1)
+        keep_lon = (lon >= lon_min - 0.1) & (lon <= lon_max + 0.1)
+
+    coords = {"ts": ts, "lat": lat[keep_lat], "lon": lon[keep_lon]}
+    cubes = {}
+    want = ("ts", "lat", "lon")
+    for name, v in by_canon.items():
+        if name in want:
+            continue
+        if v["dims"] != want:
+            # real files carry extra dims (ERA5T 'expver', ensemble
+            # 'number'); skip rather than abort the whole file
+            warnings.warn(
+                f"read_netcdf: skipping variable {name!r} with dims "
+                f"{v['dims']} (want exactly {list(want)})",
+                stacklevel=3,
+            )
+            continue
+        cube = np.asarray(v["data"], dtype=np.float64)
+        cubes[name] = cube[:, lat_sel, :][:, keep_lat, :][:, :, keep_lon]
+    return coords, cubes
+
+
 def read_netcdf(
     spark: SparkSession,
     path: str,
     dataset: str | None = "era5",
     bounds: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
-    """S1-S3 — NetCDF scan, gated on xarray availability (the library
-    is not in this image — same gate pattern as :func:`read_geotiff`).
+    """S1-S3 — NetCDF scan (reference on-ramp ``datasets/era5.py:
+    392-453`` / ``merra2.py:208-240``): open the file, canonicalize
+    coord names, optional bbox subset, emit the long table, then the
+    per-dataset rename/derive — which runs in Spark
+    (:func:`era5_prepare` / :func:`merra2_prepare`), NOT in the file
+    layer, so the physics lives in one tested place.
 
-    With xarray installed this is the full reference on-ramp
-    (``datasets/era5.py:392-453`` / ``merra2.py:208-240``): open the
-    file, canonicalize coord names, optional bbox subset, emit the
-    long table, then the per-dataset rename/derive — which runs in
-    Spark (:func:`era5_prepare` / :func:`merra2_prepare`), NOT in
-    xarray, so the physics lives in one tested place.
+    Classic-format files (magic ``CDF1``/``CDF2`` — the stable public
+    NetCDF3 binary layout) are parsed by the in-repo pure-Python
+    reader with NO third-party dependency; only NetCDF-4/HDF5
+    containers still require xarray (absent from this image — same
+    gate pattern as :func:`read_geotiff`).
     """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic[:3] == b"CDF":
+        coords, cubes = _netcdf3_cutout(path, bounds)
+        out = gridded_to_table(spark, coords, cubes)
+        if dataset == "era5":
+            return era5_prepare(out)
+        if dataset == "merra2":
+            return merra2_prepare(out)
+        return out
     try:
         import xarray as xr  # noqa: F401
     except ImportError as e:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "xarray not available in this environment; use gridded_to_table "
-            "with numpy arrays + era5_prepare/merra2_prepare, or install "
-            "xarray in deployment"
+            "xarray required for NetCDF-4/HDF5 containers (this file is "
+            "not classic-format); classic NetCDF3 files read without it "
+            "via geodata_spark.netcdf3"
         ) from e
     with xr.open_dataset(path) as ds:  # pragma: no cover - needs xarray
         rename = {

@@ -35,7 +35,9 @@ def _fake_cube(nt=4, ny=3, nx=5, seed=11):
     return coords, cubes
 
 
-def test_read_netcdf_gate_raises_without_xarray(spark):
+def test_read_netcdf_gate_raises_without_xarray(spark, tmp_path):
+    """The xarray gate now guards ONLY NetCDF-4/HDF5 containers;
+    classic files take the in-repo pure-Python path (no gate)."""
     from geodata_spark import sources
 
     try:
@@ -44,8 +46,107 @@ def test_read_netcdf_gate_raises_without_xarray(spark):
         pytest.skip("xarray present: gate untestable, loader itself active")
     except ImportError:
         pass
+    h5 = tmp_path / "era5_2011_01.nc"
+    h5.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(NotImplementedError, match="xarray"):
-        sources.read_netcdf(spark, "/nonexistent/era5_2011_01.nc")
+        sources.read_netcdf(spark, str(h5))
+
+
+def _write_era5_fixture(path, nt=4, ny=3, nx=5, descending_lat=False):
+    """Byte-valid classic-NetCDF ERA5-like month via the in-repo
+    writer: record time dim, CF time units, full ERA5 variable set."""
+    from geodata_spark import netcdf3 as NC
+
+    coords, cubes = _fake_cube(nt, ny, nx)
+    hours = np.arange(nt, dtype=np.int32)
+    lat = coords["lat"].copy()
+    lat_axis = lat[::-1] if descending_lat else lat
+    variables = {
+        "time": (("time",), hours,
+                 {"units": "hours since 2011-01-01 00:00:00"}),
+        "latitude": (("latitude",), lat_axis, {"units": "degrees_north"}),
+        "longitude": (("longitude",), coords["lon"], {}),
+    }
+    for name, cube in cubes.items():
+        c = cube[:, ::-1, :] if descending_lat else cube
+        variables[name] = (("time", "latitude", "longitude"), c, {})
+    NC.write_nc3(
+        str(path),
+        {"time": None, "latitude": ny, "longitude": nx},
+        variables,
+        gatts={"Conventions": "CF-1.6"},
+    )
+    return coords, cubes
+
+
+def test_read_netcdf_classic_end_to_end(spark, tmp_path):
+    """S1 un-gated (VERDICT r6 #7): a synthesized .nc month reads
+    WITHOUT xarray and matches the gridded_to_table+era5_prepare path
+    bit-exactly."""
+    from geodata_spark import sources
+
+    nc_path = tmp_path / "era5_2011_01.nc"
+    coords, cubes = _write_era5_fixture(nc_path)
+    got = sources.read_netcdf(spark, str(nc_path)).toPandas()
+    got = got.sort_values(["ts", "lat", "lon"]).reset_index(drop=True)
+
+    ts64 = (np.datetime64("2011-01-01T00:00:00", "ns")
+            + np.arange(4) * np.timedelta64(1, "h").astype("timedelta64[ns]"))
+    want = sources.era5_prepare(
+        sources.gridded_to_table(
+            spark, {"ts": ts64, "lat": coords["lat"], "lon": coords["lon"]},
+            cubes)
+    ).toPandas().sort_values(["ts", "lat", "lon"]).reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_read_netcdf_classic_descending_lat_and_bounds(spark, tmp_path):
+    """CDS files store latitude 90→-90; the classic path normalizes to
+    ascending and applies the padded bbox subset like the reference."""
+    from geodata_spark import sources
+
+    nc_path = tmp_path / "era5_desc.nc"
+    coords, cubes = _write_era5_fixture(nc_path, descending_lat=True)
+    lat_min, lat_max = float(coords["lat"][1]), float(coords["lat"][2])
+    lon_min, lon_max = float(coords["lon"][1]), float(coords["lon"][3])
+    got = sources.read_netcdf(
+        spark, str(nc_path), dataset=None,
+        bounds=(lat_min, lat_max, lon_min, lon_max),
+    ).toPandas().sort_values(["ts", "lat", "lon"]).reset_index(drop=True)
+    assert sorted(got["lat"].unique()) == [coords["lat"][1], coords["lat"][2]]
+    assert sorted(got["lon"].unique()) == list(coords["lon"][1:4])
+    # value alignment survives the flip + subset: check (t=1, y=2, x=3)
+    want = cubes["t2m"][1, 2, 3]
+    sel = got[(got.lat == coords["lat"][2]) & (got.lon == coords["lon"][3])]
+    assert want in sel["t2m"].to_numpy()
+
+
+def test_read_netcdf_classic_skips_extra_dim_vars(spark, tmp_path):
+    """ERA5T-style variables with extra dims are skipped with a
+    warning, not fatal (reference behavior)."""
+    from geodata_spark import netcdf3 as NC
+    from geodata_spark import sources
+
+    nt, ny, nx = 2, 2, 2
+    NC.write_nc3(
+        str(tmp_path / "extra.nc"),
+        {"time": None, "latitude": ny, "longitude": nx, "expver": 2},
+        {
+            "time": (("time",), np.arange(nt, dtype=np.int32),
+                     {"units": "hours since 2011-01-01 00:00:00"}),
+            "latitude": (("latitude",), np.array([10.0, 10.5]), {}),
+            "longitude": (("longitude",), np.array([70.0, 70.5]), {}),
+            "t2m": (("time", "latitude", "longitude"),
+                    np.full((nt, ny, nx), 280.0), {}),
+            "weird": (("time", "expver", "latitude", "longitude"),
+                      np.zeros((nt, 2, ny, nx)), {}),
+        },
+    )
+    with pytest.warns(UserWarning, match="weird"):
+        out = sources.read_netcdf(spark, str(tmp_path / "extra.nc"), dataset=None)
+    assert "t2m" in out.columns and "weird" not in out.columns
 
 
 def test_gridded_to_table_layout(spark):
