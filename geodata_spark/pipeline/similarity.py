@@ -222,37 +222,46 @@ def embedding_neardup_pairs(
     )
 
 
-def ivf_topk(
+def ivf_centroids(
     vectors: DataFrame,
-    queries: DataFrame,
     n_cells: int = 16,
-    n_probe: int = 4,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    q_id_col: str = "query_id",
-    q_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """IVF: centroids = deterministic sample (lowest ids); assign by max
-    cosine; probe the query's n_probe nearest cells."""
-    # cell id = the centroid's own vec_id: stable across task retries
-    # (monotonically_increasing_id is not) and reproducible in SQL
-    cents = (
+    """IVF coarse quantizer: centroids = deterministic sample (lowest
+    ids).  Cell id = the centroid's own vec_id: stable across task
+    retries (monotonically_increasing_id is not) and reproducible in
+    SQL."""
+    return (
         vectors.orderBy(id_col)
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent"))
     )
-    # assignment: best cell per vector (broadcast centroids).  max_by in
-    # one hash aggregation — a ranking window here would sort-shuffle all
-    # N×C (vector, centroid) pairs just to keep one row per vector.
-    # Ordering key struct(s, -cell) == (cosine desc, cell asc) tie-break.
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build: best cell per vector (broadcast centroids).
+
+    This is the ONE-TIME cost of the index — at 100 TB it is
+    materialized as a cell-partitioned table and amortized over every
+    subsequent query batch (bench.py's ann crossover times build and
+    probe separately for exactly this reason).  max_by in one hash
+    aggregation — a ranking window here would sort-shuffle all N×C
+    (vector, centroid) pairs just to keep one row per vector.
+    Ordering key struct(s, -cell) == (cosine desc, cell asc) tie-break.
+    """
     va = vectors.join(F.broadcast(cents))
     # assignment/probe similarities are rounded to 9 dp: selection by
     # raw doubles is vulnerable to 1-ulp fold-order/FMA differences
     # (near-tied centroids could flip cells across engines/retries);
     # at 9 dp a flip needs a genuine 1e-9 tie, broken by cell id.
     sim_vc = F.round(cosine(F.col(vec_col), F.col("cent")), 9).alias("s")
-    v_assigned = (
+    return (
         va.select(id_col, vec_col, "cell", sim_vc)
         .groupBy(id_col)
         .agg(
@@ -263,6 +272,21 @@ def ivf_topk(
         )
         .select(id_col, F.col("_best.cell").alias("cell"), F.col("_best._vec").alias(vec_col))
     )
+
+
+def ivf_probe(
+    v_assigned: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF query phase against a (possibly pre-materialized) index:
+    probe each query's n_probe nearest cells, exact re-rank inside."""
     qa = queries.join(F.broadcast(cents))
     sim_qc = F.round(cosine(F.col(q_vec_col), F.col("cent")), 9).alias("s")
     wq = Window.partitionBy(q_id_col).orderBy(F.col("s").desc(), F.col("cell").asc())
@@ -282,6 +306,31 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine_r6"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF end-to-end (build + probe in one plan): centroids =
+    deterministic sample (lowest ids); assign by max cosine; probe the
+    query's n_probe nearest cells.  Composition of
+    :func:`ivf_centroids` → :func:`ivf_assign` → :func:`ivf_probe`
+    with a numeric path identical to the pre-split implementation (the
+    ``ann_ivf_topk`` oracle row pins this)."""
+    cents = ivf_centroids(vectors, n_cells, id_col, vec_col)
+    v_assigned = ivf_assign(vectors, cents, id_col, vec_col)
+    return ivf_probe(
+        v_assigned, cents, queries, n_probe, k,
+        id_col, vec_col, q_id_col, q_vec_col,
     )
 
 

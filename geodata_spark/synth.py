@@ -485,3 +485,72 @@ _mgrid AS (
 maskl AS (
   {union}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings corpus (ANN crossover bench; mirrors testdata embeddings shape)
+# ---------------------------------------------------------------------------
+
+EMB_SEED = 7          # cluster-center RNG key
+EMB_BLOCK = 4096      # noise block size (partition-independent seeding)
+
+
+def synth_embeddings(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 64,
+    noise: float = 0.25,
+) -> DataFrame:
+    """Deterministic clustered embeddings ``(vec_id, embedding, label)``
+    — the testdata ``embeddings.parquet`` shape at any scale.
+
+    label = vec_id % n_clusters; embedding = center[label] + noise.
+    Noise is **partition-independent**: row ``i``'s noise is row
+    ``i % EMB_BLOCK`` of ``RandomState(EMB_SEED*31 + i//EMB_BLOCK)``'s
+    block, so any repartitioning of the ``range`` produces bit-identical
+    vectors (mapInPandas batches over a ``spark.range`` are contiguous
+    id runs, so each batch touches O(batch/BLOCK) blocks, not one RNG
+    per row).  Floats are float32 like the driver table.
+
+    Because labels cycle ``i % n_clusters``, ids ``0..n_clusters-1``
+    hit every cluster exactly once — so IVF's lowest-id centroid
+    sample (similarity.ivf_centroids) lands one centroid per true
+    cluster, the configuration the crossover bench measures.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    centers = (
+        np.random.RandomState(EMB_SEED)
+        .standard_normal((n_clusters, dim))
+        .astype(np.float64)
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = np.empty((len(ids), dim), dtype=np.float64)
+            for blk in np.unique(ids // EMB_BLOCK):
+                rs = np.random.RandomState(EMB_SEED * 31 + int(blk))
+                block = rs.standard_normal((EMB_BLOCK, dim))
+                sel = (ids // EMB_BLOCK) == blk
+                out[sel] = block[ids[sel] % EMB_BLOCK]
+            labels = (ids % n_clusters).astype(np.int32)
+            emb = centers[labels] + noise * out
+            emb32 = emb.astype(np.float32)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": list(emb32),
+                "label": labels,
+            })
+
+    rng = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema)
