@@ -7,6 +7,17 @@ print ONE JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Round-7 additions to the default mode (VERDICT r6 #3/#4/#5):
+``tier2`` times the expensive non-flagship registry operators
+(hex-grain flagship, watershed, k-means, Theil-Sen, semivariogram,
+transitive dedup) end-to-end — plan build INSIDE the timed region,
+since iterative operators do their real work in driver-side
+convergence rounds; ``zonal_daily_wavg_skew`` re-measures plain vs
+salted aggregation on the 60%-hot-cell corpus every round; and
+``ann_crossover`` benches brute vs IVF (build/probe split, n_probe
+sweep) vs LSH at 10x and 50x the sf0.1 embeddings corpus and reports
+the size where the index beats brute force at recall ≥ 0.95.
+
 ``--scaling``: additionally run the flagship job at local[8] and
 local[32] (fresh JVM per run via subprocess) on the SAME corpus and
 write BENCH/BASELINE.md with docs/sec at both parallelism levels and
@@ -198,8 +209,10 @@ def flagship_prepared(spark, n_docs: int):
         "w", zonal.oracle_area_weight_expr(F.col("lat"))
     ).withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("int"))
     return zonal.zonal_weighted_mean(
-        weighted, "val", "w", ["zone_id", "day_idx"], salt_buckets=8, out_col="wavg",
-        salt_cols=["lat", "lon", "hour"],  # high-cardinality, already read
+        # PLAIN since round 7: low-cardinality algebraic agg — map-side
+        # combine absorbs the skew; salting's second phase measured 14%
+        # slower (the skew section re-measures both every round)
+        weighted, "val", "w", ["zone_id", "day_idx"], out_col="wavg",
     )
 
 
@@ -217,8 +230,10 @@ def flagship(spark, n_docs: int):
         "w", zonal.oracle_area_weight_expr(F.col("lat"))
     ).withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("int"))
     return zonal.zonal_weighted_mean(
-        weighted, "val", "w", ["zone_id", "day_idx"], salt_buckets=8, out_col="wavg",
-        salt_cols=["lat", "lon", "hour"],  # high-cardinality, already read
+        # PLAIN since round 7: low-cardinality algebraic agg — map-side
+        # combine absorbs the skew; salting's second phase measured 14%
+        # slower (the skew section re-measures both every round)
+        weighted, "val", "w", ["zone_id", "day_idx"], out_col="wavg",
     )
 
 
@@ -282,6 +297,215 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
     out["span_explode"] = timed_best("span_explode", sig)
 
     return out, trials
+
+
+# tier-2 registry operators timed each round at sf0.1 (VERDICT r6 #3):
+# the expensive non-flagship families — hex-grain flagship join,
+# iterative hydrology, Lloyd k-means, O(T²)-per-cell robust trend,
+# lead-window geostats, star-contraction CC — so a regression in any
+# of them is visible round-over-round, not just in the oracle gate.
+TIER2_QUERIES = (
+    "zonal_wavg_hex",
+    "watershed",
+    "kmeans",
+    "theilsen_mk",
+    "semivariogram",
+    "dedup_clusters",
+)
+
+
+def bench_tier2(spark) -> tuple[dict[str, float], dict[str, dict]]:
+    """Time registry queries end-to-end at $SPARK_GRAFT_SF_DIR.
+
+    Unlike the headline timer, the PLAN BUILD is inside the timed
+    region: watershed / kmeans / dedup_clusters do their real work
+    (pointer-doubling rounds, Lloyd iterations, star contraction) at
+    build time via driver-side convergence probes, so re-executing a
+    prebuilt DataFrame would time only the final cheap projection.
+    """
+    import statistics
+
+    from geodata_spark import queries as Q
+    from geodata_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
+    out: dict[str, float] = {}
+    trials: dict[str, dict] = {}
+    for name in TIER2_QUERIES:
+        fn = Q.QUERIES[name]
+
+        def run():
+            _noop_write(fn(spark, SF_DIR))
+
+        warm = _timed(run)
+        reps = [_timed(run) for _ in range(3)]
+        out[name] = round(min(reps), 3)
+        trials[name] = {
+            "warmup": round(warm, 3),
+            "reps": [round(t, 3) for t in reps],
+            "median": round(statistics.median(reps), 3),
+        }
+    return out, trials
+
+
+def bench_skew_flagship(spark) -> dict:
+    """Standing skewed-corpus flagship entry (VERDICT r6 #5): the 60%-
+    hot-cell corpus from BENCH/SKEW.md, plain vs salted aggregation,
+    re-measured every round so salting's value (or AQE's sufficiency)
+    is tracked at bench scale instead of frozen in a one-off study."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from geodata_spark import spatial, synth, zonal
+    from geodata_spark.zones import ZONES
+
+    n = N_DOCS
+    path = os.path.join(CACHE, f"corpus_skew60_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # bench-only skew knobs; restore so nothing else in this
+        # session sees a patched generator
+        saved = synth.URBAN, synth.SKEW_LT
+        synth.URBAN, synth.SKEW_LT = [synth.URBAN[0]] * 4, 6
+        try:
+            synth.synth_documents(spark, n).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(path)
+        finally:
+            synth.URBAN, synth.SKEW_LT = saved
+    _tune_splits(spark, path, CPUS)
+
+    def build(salt_buckets):
+        docs = spark.read.parquet(path)
+        pts = spatial.parse_geo_spans(docs)
+        zoned = spatial.join_zones(pts, spark, ZONES, res=9)
+        weighted = zoned.withColumn(
+            "w", zonal.oracle_area_weight_expr(F.col("lat"))
+        ).withColumn("day_idx", (F.col("hour") / F.lit(24)).cast("int"))
+        return zonal.zonal_weighted_mean(
+            weighted, "val", "w", ["zone_id", "day_idx"],
+            salt_buckets=salt_buckets, out_col="wavg",
+            salt_cols=["lat", "lon", "hour"] if salt_buckets else None,
+        )
+
+    out: dict = {"n_docs": n, "hot_cell_share": 0.6}
+    for name, sb in (("salted", 8), ("plain", None)):
+        df = build(sb)
+        _noop_write(df)
+        reps = [_timed(lambda: _noop_write(df)) for _ in range(3)]
+        out[f"{name}_sec"] = round(min(reps), 3)
+        out[f"{name}_median"] = round(statistics.median(reps), 3)
+    return out
+
+
+def ann_crossover(spark, k: int = 10, n_queries: int = 256) -> dict:
+    """ANN crossover study (VERDICT r6 #4): brute vs IVF vs LSH at
+    10× and 50× the sf0.1 embeddings corpus (deterministic clustered
+    synth, same (vec_id, embedding float32[64], label) shape).
+
+    IVF is timed BOTH ways: end-to-end (centroids + assignment +
+    probe in one plan) and probe-only against a pre-materialized
+    assignment table — the production shape, where the index is built
+    once and amortized over every query batch.  Reports, per corpus
+    size, wall time per variant and recall@k vs the exact brute twin,
+    plus the crossover verdict: the smallest measured size where IVF
+    beats brute at recall ≥ 0.95.
+    """
+    from pyspark.sql import functions as F
+
+    from geodata_spark import synth
+    from geodata_spark.deploy import ensure_py_files
+    from geodata_spark.pipeline import similarity as SIM
+
+    ensure_py_files(spark)
+    dim, n_cells = 64, 64
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_ANN_SIZES", "20000,100000").split(",")]
+    report: dict = {"k": k, "n_queries": n_queries, "n_cells": n_cells,
+                    "dim": dim, "sizes": {}}
+
+    # noise 1.15 vs unit-normal centers: clusters overlap enough that
+    # the probe count is a REAL recall lever (probe2≈0.92, probe4≈0.95,
+    # probe8≈0.98 measured — 0.25 made every top-10 same-cluster and
+    # every recall 1.0, a trivial demonstration)
+    noise = float(os.environ.get("BENCH_ANN_NOISE", "1.15"))
+    for n in sizes:
+        vec_path = os.path.join(CACHE, f"embeddings_{n}_x{int(noise * 100)}")
+        if not os.path.exists(os.path.join(vec_path, "_SUCCESS")):
+            synth.synth_embeddings(spark, n, dim=dim, n_clusters=n_cells,
+                                   noise=noise) \
+                .repartition(32).write.mode("overwrite").parquet(vec_path)
+        vecs = spark.read.parquet(vec_path).select("vec_id", "embedding")
+        # queries = one per cluster cycle: ids 0..n_queries-1 span all
+        # 64 clusters 4x over (labels cycle with vec_id)
+        queries = vecs.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        cents = SIM.ivf_centroids(vecs, n_cells)
+        idx_path = os.path.join(
+            CACHE, f"ivf_index_{n}_{n_cells}_x{int(noise * 100)}")
+        if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+            SIM.ivf_assign(vecs, cents).write.mode("overwrite") \
+                .partitionBy("cell").parquet(idx_path)
+        assigned = spark.read.parquet(idx_path)
+
+        entry: dict = {}
+
+        def best_of(df, reps: int = 2) -> float:
+            _noop_write(df)  # warmup: plan build + JIT
+            return round(min(_timed(lambda: _noop_write(df))
+                             for _ in range(reps)), 3)
+
+        brute = SIM.brute_force_topk(vecs, queries, k=k)
+        entry["brute_sec"] = best_of(brute)
+        truth: dict[int, set] = {}
+        for r in brute.collect():
+            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        def recall(df) -> float:
+            got: dict[int, set] = {}
+            for r in df.collect():
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+            return round(hits / (len(truth) * k), 3)
+
+        # index build cost (one-time): centroids + assignment scan
+        entry["ivf_build_sec"] = round(_timed(
+            lambda: _noop_write(SIM.ivf_assign(vecs, cents))), 3)
+        for n_probe in (2, 4, 8):
+            probe = SIM.ivf_probe(assigned, cents, queries, n_probe=n_probe, k=k)
+            entry[f"ivf_probe{n_probe}_sec"] = best_of(probe)
+            entry[f"ivf_probe{n_probe}_recall"] = recall(probe)
+        full = SIM.ivf_topk(vecs, queries, n_cells=n_cells, n_probe=4, k=k)
+        entry["ivf_full_sec"] = best_of(full)
+        lsh = SIM.hyperplane_lsh_topk(vecs, queries, dim=dim, k=k)
+        entry["lsh_sec"] = best_of(lsh)
+        entry["lsh_recall"] = recall(lsh)
+        report["sizes"][str(n)] = entry
+
+    # crossover verdict: smallest size where an IVF variant with
+    # recall >= 0.95 beats brute wall time
+    verdict = None
+    for n in sizes:
+        e = report["sizes"][str(n)]
+        wins = [
+            (v, e[f"ivf_probe{p}_sec"])
+            for p in (2, 4, 8)
+            for v in [f"probe{p}"]
+            if e[f"ivf_probe{p}_recall"] >= 0.95
+            and e[f"ivf_probe{p}_sec"] < e["brute_sec"]
+        ]
+        # full pipeline probes 4 cells — its recall IS probe4's
+        if (e.get("ivf_full_sec", 1e9) < e["brute_sec"]
+                and e["ivf_probe4_recall"] >= 0.95):
+            wins.append(("full", e["ivf_full_sec"]))
+        if wins and verdict is None:
+            best = min(wins, key=lambda w: w[1])
+            verdict = (f"at n={n}: ivf_{best[0]} {best[1]}s < brute "
+                       f"{e['brute_sec']}s at recall>=0.95")
+    report["crossover"] = verdict or "no crossover at measured sizes"
+    return report
 
 
 def ann_bench(spark, k: int = 10, n_queries: int = 16) -> dict:
@@ -514,7 +738,7 @@ def scaling() -> dict:
 
 Flagship job: interleaved-document corpus ({n:,} docs, parquet) →
 explode + parse geo spans → broadcast zone-cover join (Catalyst-
-compiled PIP on boundary cells) → salted two-phase zonal daily
+compiled PIP on boundary cells) → plain partial+final zonal daily
 weighted mean.  Fresh JVM per run; full-size warmup pass; best of
 {rounds} interleaved trials per parallelism level; identical input for
 all runs (the in-sandbox proxy for N vs 4N executors per BASELINE.json
@@ -570,7 +794,8 @@ quantity the ≥0.8 criterion is about.  The un-normalized wall-clock
 efficiencies are reported first and never hidden.
 
 Spark conf: shuffle.partitions = cores, AQE on (coalesce + skew join),
-Arrow on, broadcast zone cover, salted aggregation (8 buckets),
+Arrow on, broadcast zone cover, plain aggregation (map-side combine
+absorbs the hot cell; salting dropped r7, re-measured in --skew),
 -Xms pre-sized heap (first-run GC storms otherwise).
 Reference parallelism is 1 process x 1 dask thread (geodata
 preparation.py:166, :43), so any multi-core run exceeds reference
@@ -776,6 +1001,15 @@ two variants are equivalent within noise, and salting's protection
 (reducer-side hash-table spill at 100 TB) is structural rather than
 observable here.  Correctness equality salted ≡ plain is pinned in
 tests/test_sources_plans.py.
+
+**Acted on in round 7**: the flagship (`q_zonal_daily_wavg` and both
+bench flagship paths) aggregates PLAIN — salting's second phase was
+pure overhead for this low-cardinality algebraic key (~14% on both
+the default and the 60%-hot corpus).  The salted path remains in
+`zonal.zonal_weighted_mean` for window/non-algebraic cases, and the
+standing `zonal_daily_wavg_skew` entry in the default bench re-times
+both variants every round so this conclusion is re-tested, not
+frozen.
 
 **Window top-k** (per-CELL top-5 — ranking.topk_per_group vs plain):
 
@@ -1384,7 +1618,10 @@ def main() -> None:
     spark = _session(f"local[{CPUS}]", CPUS)
     try:
         qtimes, trials = bench_queries(spark)
+        tier2, tier2_trials = bench_tier2(spark)
+        skew = bench_skew_flagship(spark)
         ann = ann_bench(spark)
+        crossover = ann_crossover(spark)
         total = round(sum(qtimes.values()), 3)
         sf = SF_DIR.rstrip("/").split("sf")[-1]
         print(
@@ -1405,6 +1642,14 @@ def main() -> None:
                     "sf": float(sf) if sf else None,
                     "docs_per_sec_flagship": round(N_DOCS / qtimes["zonal_daily_wavg"], 1),
                     "ann": ann,
+                    # round-7 additions: tier-2 operator net (VERDICT
+                    # r6 #3), standing skew entry (#5), ANN crossover
+                    # study at 10x/50x corpus (#4)
+                    "tier2": tier2,
+                    "tier2_median": {k: v["median"] for k, v in tier2_trials.items()},
+                    "tier2_trials": tier2_trials,
+                    "zonal_daily_wavg_skew": skew,
+                    "ann_crossover": crossover,
                 }
             )
         )

@@ -42,7 +42,20 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_zonal_daily_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → explode/parse geo spans → zone join → salted zonal mean."""
+    """documents → explode/parse geo spans → zone join → zonal mean.
+
+    PLAIN (unsalted) aggregation since round 7: the group key
+    (zone_id, day_idx) is low-cardinality and the sums are algebraic,
+    so map-side partial aggregation reduces every task's output to
+    ≤ |groups| rows BEFORE the shuffle — the hot cell never reaches a
+    reducer as a hot key, and the salted variant's second shuffle
+    phase is pure overhead (measured 14% on the 1M-doc bench corpus
+    and 28% on the 60%-hot skew corpus; bench.py re-measures both
+    every round as `zonal_daily_wavg_skew`).  Salting remains the
+    right tool where partial aggregation cannot combine — ranking
+    windows (events_topk_twophase) and non-algebraic aggregates — and
+    the salted path stays correctness-pinned (salted ≡ plain) in
+    tests/test_sources_plans.py."""
     docs = corpus(spark, sf_dir)
     pts = spatial.parse_geo_spans(docs)
     zoned = spatial.join_zones(pts, spark, ZONES, res=9)
@@ -50,8 +63,7 @@ def q_zonal_daily_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_idx", (F.col("hour") / F.lit(24)).cast("int")
     )
     out = zonal.zonal_weighted_mean(
-        weighted, "val", "w", ["zone_id", "day_idx"], salt_buckets=8, out_col="wavg",
-        salt_cols=["lat", "lon", "hour"],  # high-cardinality, already read
+        weighted, "val", "w", ["zone_id", "day_idx"], out_col="wavg",
     )
     return out.select(
         "zone_id",
