@@ -4855,6 +4855,166 @@ GROUP BY lat, lon, h
 """
 
 
+def q_spell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climate-index spell statistics (ETCCDI WSDI/CDD family): per
+    cell, the runs of CONSECUTIVE hours with temperature above 285 K —
+    count of spells, longest spell, total hot hours, peak temperature.
+    Gaps-and-islands: island id = hour − row_number() among hot rows
+    (constant within a run, jumps across gaps) — two window passes and
+    two hash aggs, no self-join, no iteration.  All arithmetic is
+    integer/dyadic ⇒ bit-exact oracle.
+
+    Scale shape: windows and aggs all partition by cell, one shuffle
+    key end to end; per-cell series length is bounded by the time
+    range, never by table width."""
+    from pyspark.sql.window import Window
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    hot = gv.filter(F.col("temperature") > 285.0)
+    w = Window.partitionBy("lat", "lon").orderBy("hour")
+    isl = hot.withColumn("grp", F.col("hour") - F.row_number().over(w))
+    spells = isl.groupBy("lat", "lon", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("temperature").alias("peak"),
+    )
+    return spells.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spells"),
+        F.max("len").alias("max_spell"),
+        F.sum("len").alias("hot_hours"),
+        F.max("peak").alias("peak_t"),
+    )
+
+
+_SPELL_SQL = f"""
+WITH {_GV_CTE},
+hot AS (
+  SELECT hour, lat, lon, temperature FROM gridv WHERE temperature > 285.0
+),
+isl AS (
+  SELECT lat, lon, temperature,
+         hour - row_number() OVER (PARTITION BY lat, lon ORDER BY hour) AS grp
+  FROM hot
+),
+spells AS (
+  SELECT lat, lon, grp, CAST(count(*) AS BIGINT) AS len,
+         max(temperature) AS peak
+  FROM isl GROUP BY lat, lon, grp
+)
+SELECT lat, lon, CAST(count(*) AS BIGINT) AS n_spells,
+       max(len) AS max_spell, CAST(sum(len) AS BIGINT) AS hot_hours,
+       max(peak) AS peak_t
+FROM spells GROUP BY lat, lon
+"""
+
+
+def q_tx90p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climate-index percentile exceedance (ETCCDI TX90p): per cell,
+    the share of hours above the cell's own 90th percentile.  The
+    percentile is DISCRETE — the k = ceil(0.9·n)-th smallest value by
+    (temperature, hour) row_number — so both engines select the same
+    stored dyadic value with pure integer rank arithmetic; no
+    interpolation, no FMA exposure.  The tiny per-cell percentile
+    table (one row per cell) is broadcast back for the exceedance
+    count; the final share is one identical division."""
+    from pyspark.sql.window import Window
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    wr = Window.partitionBy("lat", "lon").orderBy("temperature", "hour")
+    wc = Window.partitionBy("lat", "lon")
+    d = gv.withColumn("rnk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    p90 = d.filter(F.expr("rnk = (9 * n + 9) div 10")).select(
+        "lat", "lon", F.col("temperature").alias("p90_t")
+    )
+    return (
+        gv.join(F.broadcast(p90), ["lat", "lon"])
+        .groupBy("lat", "lon", "p90_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(
+                F.when(F.col("temperature") > F.col("p90_t"), 1).otherwise(0)
+            ).cast("long").alias("n_exceed"),
+        )
+        .withColumn(
+            "frac_exceed",
+            F.col("n_exceed").cast("double") / F.col("n_hours").cast("double"),
+        )
+    )
+
+
+_TX90P_SQL = f"""
+WITH {_GV_CTE},
+rnk AS (
+  SELECT lat, lon, hour, temperature,
+         row_number() OVER (PARTITION BY lat, lon
+                            ORDER BY temperature, hour) AS rnk,
+         count(*) OVER (PARTITION BY lat, lon) AS n
+  FROM gridv
+),
+p90 AS (
+  SELECT lat, lon, temperature AS p90_t
+  FROM rnk WHERE rnk = (9 * n + 9) // 10
+)
+SELECT g.lat, g.lon, p.p90_t,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN g.temperature > p.p90_t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exceed,
+       CAST(sum(CASE WHEN g.temperature > p.p90_t THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS frac_exceed
+FROM gridv g JOIN p90 p ON g.lat = p.lat AND g.lon = p.lon
+GROUP BY g.lat, g.lon, p.p90_t
+"""
+
+
+def q_cell_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Shannon entropy of the temperature distribution over
+    16 equal-width bins — the diversity/anomaly screen a curation
+    pipeline runs per key (low entropy = stuck sensor / constant
+    region).  Bin ids are exact integer arithmetic on temperature·16
+    (dyadic ⇒ integer); the identity H = ln(n) − Σ c·ln(c) / n folds
+    the normalization into ONE two-level hash agg (no window, no
+    join-back for n).  ln is libm ⇒ 6-dp rounding (the
+    unigram_logprob mitigation)."""
+    gv = _gv(spark).select("lat", "lon", "temperature")
+    # temperature ∈ [250, 300) step 1/16 → t·16−4000 ∈ [0, 800) ints;
+    # 16 bins of 50 units
+    binned = gv.withColumn(
+        "bin",
+        F.expr("(CAST(temperature * 16.0 AS BIGINT) - 4000) div 50"),
+    )
+    counts = binned.groupBy("lat", "lon", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return counts.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("c").alias("n"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy_r6"),
+    )
+
+
+_CELL_ENTROPY_SQL = f"""
+WITH {_GV_CTE},
+counts AS (
+  SELECT lat, lon,
+         (CAST(temperature * 16.0 AS BIGINT) - 4000) // 50 AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM gridv GROUP BY 1, 2, 3
+)
+SELECT lat, lon, CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(c) AS BIGINT) AS n,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS entropy_r6
+FROM counts GROUP BY lat, lon
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5044,6 +5204,12 @@ QUERIES = {
     "span_sequence": q_span_sequence,
     "tpch_bigjoin_revenue": q_tpch_bigjoin,
     "cell_autocorr": q_cell_autocorr,
+    # new round 7 (tail; TAILSWEEP_r07.json is their hard evidence
+    # until next round's rotation): ETCCDI climate indices + per-cell
+    # distribution entropy
+    "spell_stats": q_spell_stats,
+    "tx90p": q_tx90p,
+    "cell_entropy": q_cell_entropy,
 }
 
 ORACLES = {
@@ -5183,4 +5349,7 @@ ORACLES = {
     "seasonal_decompose": _SEASONAL_SQL,
     "cell_corr": _CELL_CORR_SQL,
     "cell_acf": _CELL_ACF_SQL,
+    "spell_stats": _SPELL_SQL,
+    "tx90p": _TX90P_SQL,
+    "cell_entropy": _CELL_ENTROPY_SQL,
 }

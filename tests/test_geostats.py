@@ -482,3 +482,93 @@ def test_cell_corr_and_acf_numpy(spark):
         row = acf[(cell.lat, cell.lon, h)]
         assert row.n_pairs == len(z) - h
         assert abs(row.acf_r6 - want) < 1e-6, h
+
+
+def test_spell_stats_numpy_twin(spark):
+    """Gaps-and-islands spell stats equal a direct numpy run-length
+    scan for a sampled cell (and globals are conserved)."""
+    import numpy as np
+
+    from geodata_spark.queries import _GV_DIMS, q_spell_stats
+    from geodata_spark.synth import synth_grid_vars
+
+    gv = synth_grid_vars(spark, **_GV_DIMS).select(
+        "hour", "lat", "lon", "temperature"
+    ).toPandas()
+    out = {(r.lat, r.lon): r for r in q_spell_stats(spark, "unused").collect()}
+    cell = gv.iloc[7][["lat", "lon"]]
+    sub = gv[(gv.lat == cell.lat) & (gv.lon == cell.lon)].sort_values("hour")
+    hot = (sub.temperature > 285.0).to_numpy()
+    # numpy run-length encode
+    runs = []
+    cur = 0
+    for flag in hot:
+        if flag:
+            cur += 1
+        elif cur:
+            runs.append(cur)
+            cur = 0
+    if cur:
+        runs.append(cur)
+    row = out[(cell.lat, cell.lon)]
+    assert row.n_spells == len(runs)
+    assert row.max_spell == max(runs)
+    assert row.hot_hours == sum(runs) == int(hot.sum())
+    assert row.peak_t == sub.temperature[sub.temperature > 285.0].max()
+    # conservation: total hot hours across cells equals the global count
+    assert sum(r.hot_hours for r in out.values()) == int(
+        (gv.temperature > 285.0).sum()
+    )
+
+
+def test_tx90p_discrete_percentile(spark):
+    """The discrete p90 is the ceil(0.9 n)-th smallest stored value and
+    the exceedance share counts strictly-above hours."""
+    import numpy as np
+
+    from geodata_spark.queries import _GV_DIMS, q_tx90p
+    from geodata_spark.synth import synth_grid_vars
+
+    gv = synth_grid_vars(spark, **_GV_DIMS).select(
+        "hour", "lat", "lon", "temperature"
+    ).toPandas()
+    out = {(r.lat, r.lon): r for r in q_tx90p(spark, "unused").collect()}
+    for idx in (0, 11):
+        cell = gv.iloc[idx][["lat", "lon"]]
+        sub = gv[(gv.lat == cell.lat) & (gv.lon == cell.lon)]
+        vals = np.sort(sub.temperature.to_numpy())
+        n = len(vals)
+        k = -(-9 * n // 10)  # ceil(0.9 n)
+        row = out[(cell.lat, cell.lon)]
+        assert row.p90_t == vals[k - 1]
+        assert row.n_hours == n
+        assert row.n_exceed == int((vals > vals[k - 1]).sum())
+        assert abs(row.frac_exceed - row.n_exceed / n) < 1e-12
+        # a p90 must leave at most 10% strictly above
+        assert row.n_exceed <= n - k
+
+
+def test_cell_entropy_numpy_twin(spark):
+    """H = ln n − Σ c·ln c / n equals the direct −Σ p ln p histogram
+    entropy; bins are exact integer arithmetic on dyadic temperature."""
+    import numpy as np
+
+    from geodata_spark.queries import _GV_DIMS, q_cell_entropy
+    from geodata_spark.synth import synth_grid_vars
+
+    gv = synth_grid_vars(spark, **_GV_DIMS).select(
+        "lat", "lon", "temperature"
+    ).toPandas()
+    out = {(r.lat, r.lon): r for r in q_cell_entropy(spark, "unused").collect()}
+    cell = gv.iloc[3][["lat", "lon"]]
+    sub = gv[(gv.lat == cell.lat) & (gv.lon == cell.lon)]
+    bins = ((sub.temperature.to_numpy() * 16).astype(np.int64) - 4000) // 50
+    assert (bins >= 0).all() and (bins < 16).all()
+    _, counts = np.unique(bins, return_counts=True)
+    p = counts / counts.sum()
+    want = float(-(p * np.log(p)).sum())
+    row = out[(cell.lat, cell.lon)]
+    assert row.n_bins == len(counts)
+    assert row.n == counts.sum()
+    assert abs(row.entropy_r6 - want) < 1e-6
+    assert 0.0 <= row.entropy_r6 <= np.log(16) + 1e-9

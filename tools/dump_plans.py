@@ -21,8 +21,11 @@ NOTES = {
     "zonal_daily_wavg": (
         "flagship: ONE parquet scan, span explode + kind filter, "
         "broadcast zone-cover join, CASE-short-circuit PIP in codegen "
-        "(no Python stage), salted two-phase hash aggregation "
-        "(4 HashAggregate nodes = partial+final x 2 phases)"
+        "(no Python stage), PLAIN partial+final hash aggregation — "
+        "map-side combine reduces each task to <=|groups| rows before "
+        "the shuffle, so the hot cell never reaches a reducer as a "
+        "hot key (salting dropped r7: its second phase measured 14% "
+        "overhead; still re-measured every round in the skew bench)"
     ),
     "tpch_bigjoin_revenue": (
         "big-big join: SortMergeJoin between the two fact exchanges; "
@@ -152,6 +155,38 @@ NOTES = {
     "diurnal_harmonic": (
         "single-bin DFT: cos/sin products are codegen expressions over "
         "the scan; one map-side-combined hash agg, nothing else"
+    ),
+    "seasonal_decompose": (
+        "classical decomposition: trend MA, per-phase seasonal and "
+        "residual all share the per-cell window partitioning; lead "
+        "columns are projected BEFORE the explode (window-in-generator "
+        "is illegal in Spark)"
+    ),
+    "cell_corr": (
+        "Pearson r: five dyadic sum aggregates in ONE map-side-combined "
+        "hash agg over the scan; a single final projection does the "
+        "sqrt — no window, no join"
+    ),
+    "cell_acf": (
+        "multi-lag ACF: one ordered lead-window pass materializes all "
+        "6 lags, then explode + hash agg — same shape as semivariogram "
+        "on the time axis; no self-join"
+    ),
+    "spell_stats": (
+        "spell runs: filter + ONE ordered per-cell window (row_number) "
+        "+ two hash aggs on the same cell key — gaps-and-islands with "
+        "a single logical shuffle key end to end"
+    ),
+    "tx90p": (
+        "discrete p90: rank + count share one per-cell window "
+        "Exchange; the one-row-per-cell percentile table re-enters as "
+        "a BroadcastHashJoin; exceedance is a map-side-combined agg"
+    ),
+    "cell_entropy": (
+        "histogram entropy: exact integer binning in codegen over the "
+        "scan, two-level hash agg (cell,bin → cell); H = ln n − "
+        "Σ c·ln c / n folds normalization into the same agg — no "
+        "window, no join"
     ),
 }
 
