@@ -157,18 +157,44 @@ def raster_to_table(
 
 
 def read_geotiff(spark: SparkSession, path: str, layer: str | None = None) -> DataFrame:
-    """S7 — GeoTIFF scan, gated on rasterio availability.
+    """S7 — GeoTIFF scan (reference behavior: band 1, nodata→0 —
+    mask.py:936-965).
 
-    The container has no rasterio; a deployment with it installed gets
-    the exact reference behavior (band 1, nodata→0 — mask.py:936-965).
+    Baseline files (strip/tile, none/LZW/Deflate/PackBits, integer or
+    float samples, classic or BigTIFF) are parsed by the in-repo
+    pure-Python reader (:mod:`geodata_spark.geotiff`) with NO
+    third-party dependency — gate REMOVED round 7, same move as the
+    NetCDF3 un-gating.  Only out-of-subset features (JPEG/CCITT
+    compression, planar config 2, float predictor) still fall back to
+    rasterio where installed.
     """
+    from geodata_spark import geotiff as gtif
+
     try:
-        import rasterio  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "rasterio not available in this environment; use raster_to_table "
-            "with a numpy array, or install rasterio in deployment"
-        ) from e
+        r = gtif.read_tiff(path)
+    except gtif.UnsupportedTiff as unsupported:
+        try:
+            import rasterio  # noqa: F401
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                f"GeoTIFF feature outside the built-in baseline subset "
+                f"({unsupported}); rasterio not available in this "
+                f"environment to handle it"
+            ) from e
+    else:
+        arr = np.asarray(r["array"], dtype=np.float64)
+        if r["nodata"] is not None:
+            arr = np.where(arr == r["nodata"], 0.0, arr)
+        if r["transform"] is None:
+            raise ValueError(f"{path}: no geotransform (not a GeoTIFF?)")
+        x0, sx, y0, sy = r["transform"]
+        # stored rows are north-up (row 0 = top edge y0); flip to the
+        # ascending-lat convention and anchor at the bottom edge, the
+        # exact arithmetic of the rasterio branch below
+        return raster_to_table(
+            spark, arr[::-1], y0 - sy * r["height"], x0, sy, sx,
+            layer=layer or path,
+        )
     with rasterio.open(path) as src:  # pragma: no cover
         arr = src.read(1)
         t = src.transform
@@ -190,6 +216,32 @@ def table_to_raster(df: DataFrame, ny: int, nx: int) -> np.ndarray:
         pdf["value"].to_numpy(np.float64)
     )
     return out
+
+
+def write_geotiff_raster(
+    df: DataFrame,
+    path: str,
+    ny: int,
+    nx: int,
+    lat0: float,
+    lon0: float,
+    dlat: float,
+    dlon: float,
+    **kw,
+) -> None:
+    """S10 — long cell table → GeoTIFF file via the in-repo writer
+    (driver-side small-raster sink, same deliberate scope as
+    :func:`table_to_raster`; round-trips through :func:`read_geotiff`).
+
+    Table rows are ascending-lat with ``lat0`` the BOTTOM edge (the
+    :func:`raster_to_table` convention); TIFF stores rows north-up, so
+    the array flips and the tiepoint anchors at the top edge."""
+    from geodata_spark import geotiff as gtif
+
+    arr = table_to_raster(df, ny, nx)
+    gtif.write_geotiff(
+        path, arr[::-1], lon0, lat0 + dlat * ny, dlon, dlat, **kw
+    )
 
 
 def spinup_stream_id(year: int, month: int) -> str:
