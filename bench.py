@@ -482,6 +482,36 @@ def ann_crossover(spark, k: int = 10, n_queries: int = 256) -> dict:
         lsh = SIM.hyperplane_lsh_topk(vecs, queries, dim=dim, k=k)
         entry["lsh_sec"] = best_of(lsh)
         entry["lsh_recall"] = recall(lsh)
+
+        # PQ/ADC at a production-ish shape (m=8, ksub=32): build =
+        # per-subspace Lloyd training + materializing the code table
+        # (the one-time 32x-compressed index); probe = LUT scoring
+        # over the codes — m lookups + adds per row, zero multiplies.
+        pq_path = os.path.join(CACHE, f"pq_codes_{n}_x{int(noise * 100)}")
+        pq_meta = pq_path + ".books.json"
+        if not os.path.exists(pq_meta):
+            t0 = time.perf_counter()
+            codes_pq, books_pq = SIM.pq_train_encode(vecs, m=8, ksub=32,
+                                                     iters=2)
+            codes_pq.write.mode("overwrite").parquet(pq_path)
+            with open(pq_meta, "w") as fh:
+                json.dump({"build_sec": round(time.perf_counter() - t0, 3),
+                           "books": books_pq}, fh)
+        with open(pq_meta) as fh:
+            pq_saved = json.load(fh)
+        entry["pq_build_sec"] = pq_saved["build_sec"]
+        cached_codes = spark.read.parquet(pq_path)
+        pq = SIM.pq_topk(cached_codes, pq_saved["books"], queries, k=k)
+        entry["pq_sec"] = best_of(pq)
+        entry["pq_recall"] = recall(pq)
+        # PQ + exact re-rank (FAISS refine shape): ADC shortlist of 50,
+        # then an id-keyed exact re-rank touching nq*50 vectors — the
+        # deployment shape where recall comes back without rescanning
+        pq_ref = SIM.pq_topk_refined(
+            cached_codes, pq_saved["books"], vecs, queries,
+            k=k, shortlist=50)
+        entry["pq_refine_sec"] = best_of(pq_ref)
+        entry["pq_refine_recall"] = recall(pq_ref)
         report["sizes"][str(n)] = entry
 
     # crossover verdict: smallest size where an IVF variant with

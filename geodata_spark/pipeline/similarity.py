@@ -340,6 +340,7 @@ def kmeans_lloyd(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd k-means over an embedding column, built to be
     CROSS-ENGINE DETERMINISTIC (semantic clustering for corpus mixing
@@ -386,7 +387,7 @@ def kmeans_lloyd(
         )
 
     assigned = None
-    for _ in range(iters):
+    for r_i in range(iters):
         choices = F.array(*[
             F.struct(dist2(c).alias("d"), F.lit(j).alias("j"))
             for j, c in enumerate(cents)
@@ -396,6 +397,10 @@ def kmeans_lloyd(
             F.col("_best.j").alias("cluster"),
             F.col("_best.d").alias("d2_r6"),
         )
+        if r_i == iters - 1:
+            # the final round only assigns; an update here would feed
+            # nothing (the SQL twin likewise unrolls iters-1 updates)
+            break
         means = (
             assigned.select("cluster", F.posexplode("v").alias("i", "x"))
             .groupBy("cluster", "i")
@@ -409,8 +414,13 @@ def kmeans_lloyd(
             seen.add(r.cluster)
         # empty cluster keeps its previous centroid (deterministic)
         cents = [new[j] if j in seen else cents[j] for j in range(k)]
-    return assigned.select("id", F.col("cluster").cast("long").alias("cluster"),
-                           "d2_r6")
+    out = assigned.select("id", F.col("cluster").cast("long").alias("cluster"),
+                          "d2_r6")
+    if return_centroids:
+        # the centroids the FINAL assignment was made against (what an
+        # asymmetric-distance scorer must use to match the codes)
+        return out, cents
+    return out
 
 
 def kmeans_lloyd_sql(
@@ -469,4 +479,283 @@ c{r + 1} AS (
 WITH {body}
 SELECT id AS {id_col}, CAST(cluster AS BIGINT) AS cluster, d2 AS d2_r6
 FROM a{last} WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the embedding-compression ANN scale path
+# ---------------------------------------------------------------------------
+
+def pq_train_encode(
+    vecs: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization: split the vector into ``m`` subspaces,
+    train one ``ksub``-centroid codebook per subspace with the SAME
+    cross-engine-deterministic Lloyd recipe as :func:`kmeans_lloyd`
+    (lowest-id init, 6-dp distance/centroid rounding), and encode
+    every vector as ``m`` small codes — at float32[64] with m=8,
+    ksub=256 this is 256 B → 8 B per vector, the 32× compression that
+    makes a 100 TB embedding corpus scannable for ANN.
+
+    Returns ``(codes, codebooks)``: codes ``(id, codes array<int>)``;
+    codebooks ``m × ksub × dsub`` Python floats — MODEL-sized, the
+    asymmetric-distance scorer broadcasts them as literals.  The codes
+    are each subspace's final Lloyd assignment, and the returned
+    codebooks are the centroids that assignment was made against, so
+    scoring is consistent with encoding.
+
+    Scale shape: per subspace, Lloyd touches the (sliced) data twice
+    per round and collects only k·dsub doubles; the ``m`` per-subspace
+    code tables then join back on id — m−1 co-partitioned equi-joins
+    of (id, int) pairs, never the vectors.  (A fused single-pass
+    encoder is possible but the m-join keeps each subspace's plan
+    identical to the audited kmeans plan.)
+    """
+    first = vecs.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train_encode: empty input")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    out = None
+    for j in range(m):
+        sub = vecs.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+        )
+        assigned, cents = kmeans_lloyd(
+            sub, k=ksub, iters=iters, id_col=id_col, vec_col=vec_col,
+            return_centroids=True,
+        )
+        books.append(cents)
+        cj = assigned.select("id", F.col("cluster").alias(f"_c{j}"))
+        out = cj if out is None else out.join(cj, "id")
+    codes = out.select(
+        "id",
+        F.array(*[F.col(f"_c{j}").cast("int") for j in range(m)]).alias("codes"),
+    )
+    return codes, books
+
+
+def pq_topk(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: score(q, x) =
+    Σ_j LUT_q[j][code_j] where LUT_q[j][c] = round(dot(q_j,
+    codebook_j[c]), 6) — the textbook ADC shape: the per-query lookup
+    table (m·ksub doubles) is precomputed ONCE, so the corpus-side
+    scan does m array lookups + m−1 adds per row, zero multiplies.
+
+    The LUT is built driver-side (queries are by definition the small
+    broadcast side; nq·m·ksub doubles is model-sized) with a strictly
+    SEQUENTIAL fold — the same product-then-accumulate order as
+    Catalyst's ``aggregate(zip_with(...))`` and DuckDB's
+    ``list_sum(list_transform(...))`` — so each LUT entry is
+    bit-identical to the per-row recompute the SQL twin performs, and
+    the fixed left-associated sum of 6-dp terms keeps the final score
+    exact cross-engine.  Data motion: ONE scan of the (id, codes)
+    table joined to the broadcast LUT rows."""
+    m = len(books)
+    dsub = len(books[0][0])
+    spark = codes.sparkSession
+
+    def seq_dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    lut_rows = []
+    for r in queries.select(q_id_col, q_vec_col).collect():
+        qv = [float(x) for x in r[1]]
+        lut = [
+            [round(seq_dot(qv[j * dsub:(j + 1) * dsub], cent), 6)
+             for cent in books[j]]
+            for j in range(m)
+        ]
+        lut_rows.append((r[0], lut))
+    luts = spark.createDataFrame(
+        lut_rows, f"{q_id_col} long, _lut array<array<double>>"
+    )
+
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("_lut", j + 1), F.col("codes").getItem(j) + 1
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("adc_r6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        codes.join(F.broadcast(luts))
+        .filter(F.col("id") != F.col(q_id_col))
+        .select(q_id_col, F.col("id").alias("vec_id"), score.alias("adc_r6"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", "vec_id", "adc_r6")
+    )
+
+
+def pq_topk_refined(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """PQ with exact re-ranking (the FAISS ``IndexRefineFlat`` shape):
+    the compressed ADC scan produces a ``shortlist``-sized candidate
+    set per query, then ONLY those nq·shortlist rows fetch their raw
+    vectors for an exact dot-product re-rank to top-``k``.  This is
+    how PQ is actually deployed — the full-precision pass touches a
+    vanishing fraction of the corpus (shortlist/n), so recall is set
+    by the shortlist (→1 as it grows) while the scan cost stays at
+    the compressed m-lookups-per-row rate.
+
+    Scale shape: the second stage is a semi-join of the shortlist ids
+    back to the vector table — at 100 TB that is an id-keyed point
+    lookup into the (bucketed/partitioned) embedding store, never a
+    second corpus scan."""
+    short = pq_topk(codes, books, queries, k=shortlist,
+                    q_id_col=q_id_col, q_vec_col=q_vec_col)
+    qv = queries.select(q_id_col, q_vec_col)
+    exact = (
+        short.select(q_id_col, "vec_id")
+        .join(vecs.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id")
+        .join(F.broadcast(qv), q_id_col)
+        .select(
+            q_id_col, "vec_id",
+            F.round(_dot(F.col(vec_col), F.col(q_vec_col)), 6).alias("dot_r6"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("dot_r6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", "vec_id", "dot_r6")
+    )
+
+
+def pq_topk_sql(
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 5,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of train→encode→ADC-score: per subspace the
+    :func:`kmeans_lloyd_sql` unroll runs on the list slice, then the
+    scoring CTE re-derives every lookup from the SQL-side codebooks —
+    nothing is smuggled across from the Spark run."""
+    dsub = dim // m
+    d2 = ("round(list_sum(list_transform(list_zip(v, c), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)")
+    blocks = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        blocks.append(f"""
+ev{s} AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+c{s}_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS j,
+         list_transform(v, x -> round(x, 6)) AS c
+  FROM (SELECT id, v FROM ev{s} ORDER BY id LIMIT {ksub})
+)""")
+        for r in range(iters):
+            blocks.append(f"""
+p{s}_{r} AS (
+  SELECT ev{s}.id, ev{s}.v, c{s}_{r}.j, {d2} AS d2
+  FROM ev{s}, c{s}_{r}
+),
+a{s}_{r} AS (
+  SELECT id, v, j AS cluster, d2,
+         row_number() OVER (PARTITION BY id ORDER BY d2 ASC, j ASC) AS rn
+  FROM p{s}_{r}
+)""")
+            if r < iters - 1:
+                blocks.append(f"""
+m{s}_{r} AS (
+  SELECT cluster, g.i AS i, round(avg(v[g.i]), 6) AS mn
+  FROM (SELECT * FROM a{s}_{r} WHERE rn = 1),
+       unnest(generate_series(1, {dsub}, 1)) AS g(i)
+  GROUP BY cluster, g.i
+),
+c{s}_{r + 1} AS (
+  SELECT prev.j, coalesce(mm.c, prev.c) AS c
+  FROM c{s}_{r} prev
+  LEFT JOIN (SELECT cluster AS j, list(mn ORDER BY i) AS c
+             FROM m{s}_{r} GROUP BY cluster) mm USING (j)
+)""")
+        blocks.append(f"""
+codes{s} AS (
+  SELECT id, cluster AS code FROM a{s}_{iters - 1} WHERE rn = 1
+)""")
+    join_codes = " ".join(
+        f"JOIN codes{s} x{s} USING (id)" for s in range(1, m)
+    )
+    terms = " + ".join(
+        f"round(list_sum(list_transform("
+        f"list_zip(q.qv[{s * dsub + 1}:{(s + 1) * dsub}], cb{s}.c), "
+        f"p -> p[1] * p[2])), 6)"
+        for s in range(m)
+    )
+    cb_joins = " ".join(
+        f"JOIN c{s}_{iters - 1} cb{s} ON cb{s}.j = x.code{s}" for s in range(m)
+    )
+    code_cols = ", ".join(
+        (f"x0.code AS code0" if s == 0 else f"x{s}.code AS code{s}")
+        for s in range(m)
+    )
+    body = ",".join(blocks)
+    return f"""
+WITH {body},
+x AS (
+  SELECT id, {code_cols}
+  FROM codes0 x0 {join_codes}
+),
+q AS (
+  SELECT {id_col} AS query_id,
+         list_transform({vec_col}, e -> CAST(e AS DOUBLE)) AS qv
+  FROM {table} WHERE {id_col} < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, x.id AS vec_id, {terms} AS adc_r6
+  FROM x {cb_joins}, q
+  WHERE x.id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_r6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_r6 DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_r6
+FROM ranked WHERE rank <= {k}
 """

@@ -5015,6 +5015,84 @@ FROM counts GROUP BY lat, lon
 """
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, train → encode → ADC top-5 for the
+    first 8 query vectors: m=4 subspaces × ksub=4 centroids trained
+    with the deterministic Lloyd recipe (the kmeans oracle machinery,
+    per subspace), every vector encoded as 4 small codes, then
+    asymmetric-distance scoring — the query stays full-precision and
+    the corpus side is m codebook lookups per row.  The DuckDB twin
+    re-derives the codebooks AND the codes entirely in SQL (the
+    per-subspace kmeans unroll), so the whole train→encode→score
+    pipeline is oracle-checked, not just the final ranking.
+
+    Scale shape: codes are m bytes/vector (vs dim·4 raw — at
+    float32[64], m=8/ksub=256 in production is 32× compression); the
+    scoring scan touches ONLY the code table + literal codebooks, so
+    the 100 TB ANN pass reads ~3% of the raw bytes.  Production knobs
+    differ (m=8, ksub=256, iters more); the oracle pins the small
+    fixture shape, bench.py times the production shape."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = SIM.pq_train_encode(vecs, m=4, ksub=4, iters=2)
+    queries = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return SIM.pq_topk(codes, books, queries, k=5)
+
+
+def q_ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with exact re-ranking (the FAISS ``IndexRefineFlat`` shape):
+    the compressed ADC scan shortlists 20 candidates per query, then
+    ONLY those rows fetch their raw vectors for an exact dot-product
+    re-rank to top-5 — recall is set by the shortlist while the scan
+    cost stays at the m-lookups-per-row compressed rate.  The DuckDB
+    twin nests the full train→encode→ADC pipeline as the shortlist
+    CTE and re-ranks with ``list_inner_product`` — every stage of the
+    two-pass design is oracle-checked.
+
+    Scale shape: stage 2 is an id-keyed semi-join of nq·20 rows back
+    to the embedding store — a point lookup, never a second corpus
+    scan; at 100 TB the full-precision bytes touched are
+    shortlist/n of the corpus."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = SIM.pq_train_encode(vecs, m=4, ksub=4, iters=2)
+    queries = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return SIM.pq_topk_refined(codes, books, vecs, queries,
+                               k=5, shortlist=20)
+
+
+def _pq_refine_sql() -> str:
+    short = SIM.pq_topk_sql(m=4, ksub=4, iters=2, dim=64, k=20, n_queries=8)
+    return f"""
+WITH short AS ({short}),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_inner_product(CAST(v.embedding AS DOUBLE[]), q.qv), 6)
+           AS dot_r6
+  FROM short s
+  JOIN embeddings v ON v.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, dot_r6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_r6 DESC, vec_id) AS rank
+  FROM exact
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot_r6
+FROM ranked WHERE rank <= 5
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5210,6 +5288,8 @@ QUERIES = {
     "spell_stats": q_spell_stats,
     "tx90p": q_tx90p,
     "cell_entropy": q_cell_entropy,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_refine": q_ann_pq_refine,
 }
 
 ORACLES = {
@@ -5352,4 +5432,7 @@ ORACLES = {
     "spell_stats": _SPELL_SQL,
     "tx90p": _TX90P_SQL,
     "cell_entropy": _CELL_ENTROPY_SQL,
+    "ann_pq_topk": SIM.pq_topk_sql(m=4, ksub=4, iters=2, dim=64, k=5,
+                                   n_queries=8),
+    "ann_pq_refine": _pq_refine_sql(),
 }

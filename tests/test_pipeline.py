@@ -764,3 +764,116 @@ def test_cc_star_keeps_self_pair_only_nodes(spark):
         out = {r.node: r.component
                for r in DD.connected_components(pairs, method=method).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 5: 5}, method
+
+
+def test_pq_train_encode_codes_match_subspace_kmeans(spark, vecs):
+    """PQ codes are exactly the per-subspace deterministic Lloyd
+    assignments, and the returned codebooks are the centroids the
+    final assignment used (re-deriving the assignment from the books
+    reproduces every code)."""
+    m, ksub, iters = 4, 4, 2
+    codes, books = SIM.pq_train_encode(vecs, m=m, ksub=ksub, iters=iters)
+    pdf = codes.toPandas().sort_values("id").reset_index(drop=True)
+    assert len(books) == m and all(len(b) == ksub for b in books)
+
+    emb = vecs.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    dsub = X.shape[1] // m
+    code_arr = np.stack(pdf.codes.to_numpy())
+    for j in range(m):
+        sub = vecs.select(
+            "vec_id", F.slice("embedding", j * dsub + 1, dsub).alias("embedding")
+        )
+        km = SIM.kmeans_lloyd(sub, k=ksub, iters=iters).toPandas().sort_values(
+            "id"
+        )
+        assert (km.cluster.to_numpy() == code_arr[:, j]).all(), j
+        # numpy re-assignment from the returned books: same argmin
+        # under the 6-dp distance rounding + index tie-break
+        cb = np.asarray(books[j])
+        d2 = np.round(
+            ((X[:, j * dsub:(j + 1) * dsub, None] - cb.T[None]) ** 2).sum(1), 6
+        )
+        want = np.argmin(d2, axis=1)  # ties -> first index, like the
+        # Spark array_min((d, j)) struct order
+        assert (want == code_arr[:, j]).all(), j
+
+
+def test_pq_topk_adc_numpy_twin(spark, vecs):
+    """ADC top-5 equals a numpy rescoring of the same codes+books
+    (per-term 6-dp rounding, score-desc/vec_id-asc total order)."""
+    m, ksub = 4, 4
+    codes, books = SIM.pq_train_encode(vecs, m=m, ksub=ksub, iters=2)
+    queries = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = SIM.pq_topk(codes, books, queries, k=5).toPandas()
+    assert set(got.columns) == {"query_id", "rank", "vec_id", "adc_r6"}
+    assert (got.groupby("query_id").size() == 5).all()
+
+    emb = vecs.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    dsub = X.shape[1] // m
+    cmap = dict(zip(codes.toPandas().id, codes.toPandas().codes))
+    for qid in range(4):
+        q = X[ids == qid][0]
+        scores = {}
+        for vid in ids:
+            if vid == qid:
+                continue
+            s = 0.0
+            for j in range(m):
+                cent = np.asarray(books[j][cmap[vid][j]])
+                s += np.round(float(q[j * dsub:(j + 1) * dsub] @ cent), 6)
+            scores[int(vid)] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(sub.vec_id) == [w[0] for w in want], qid
+        np.testing.assert_allclose(
+            sub.adc_r6.to_numpy(), [w[1] for w in want], atol=2e-6
+        )
+
+
+def test_pq_topk_refined_numpy_twin(spark, vecs):
+    """Refined PQ equals numpy: ADC-shortlist the same codes+books,
+    then exact-dot re-rank ONLY the shortlist (score-desc/vec_id-asc
+    order) — and a large-enough shortlist reproduces brute force."""
+    m, ksub, shortlist, k = 4, 4, 12, 5
+    codes, books = SIM.pq_train_encode(vecs, m=m, ksub=ksub, iters=2)
+    queries = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = SIM.pq_topk_refined(codes, books, vecs, queries,
+                              k=k, shortlist=shortlist).toPandas()
+    assert set(got.columns) == {"query_id", "rank", "vec_id", "dot_r6"}
+    assert (got.groupby("query_id").size() == k).all()
+
+    emb = vecs.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    dsub = X.shape[1] // m
+    cpdf = codes.toPandas()
+    cmap = dict(zip(cpdf.id, cpdf.codes))
+    for qid in range(4):
+        q = X[ids == qid][0]
+        adc = {}
+        for vid in ids:
+            if vid == qid:
+                continue
+            s = 0.0
+            for j in range(m):
+                cent = np.asarray(books[j][cmap[vid][j]])
+                s += np.round(float(q[j * dsub:(j + 1) * dsub] @ cent), 6)
+            adc[int(vid)] = s
+        short = [v for v, _ in sorted(adc.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:shortlist]]
+        exact = {v: np.round(float(q @ X[ids == v][0]), 6) for v in short}
+        want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(sub.vec_id) == [w[0] for w in want], qid
+        np.testing.assert_allclose(
+            sub.dot_r6.to_numpy(), [w[1] for w in want], atol=2e-6
+        )

@@ -188,6 +188,17 @@ NOTES = {
         "Σ c·ln c / n folds normalization into the same agg — no "
         "window, no join"
     ),
+    "ann_pq_topk": (
+        "PQ/ADC scoring: ONE scan of the (id, codes) table, broadcast "
+        "query join, codebooks as literal arrays in codegen, "
+        "WindowGroupLimit top-k — training (per-subspace Lloyd) runs "
+        "at plan-build time with model-sized collects only"
+    ),
+    "ann_pq_refine": (
+        "two-pass ANN: compressed ADC shortlist (one code-table scan) "
+        "then an id-keyed semi-join re-rank touching nq*shortlist raw "
+        "vectors — the full-precision pass never rescans the corpus"
+    ),
 }
 
 
