@@ -166,3 +166,76 @@ def morans_i(
         "n_pairs",
         F.round((F.col("n") / F.col("n_pairs")) * num / den, 6).alias("morans_i_r6"),
     )
+
+
+def getis_ord_gstar(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "hour",
+    lat0: float = LAT0,
+    dlat: float = DLAT,
+    lon0: float = LON0,
+    dlon: float = DLON,
+) -> DataFrame:
+    """Local Getis-Ord Gi* hotspot statistic per cell and time slice
+    (Getis & Ord 1992/1995): queen contiguity INCLUDING self (the
+    starred variant), binary weights.  Gi* > 0 marks cells whose 3×3
+    neighborhood sum is high relative to the global field — the
+    standard hot/cold-spot detector run before siting decisions.
+
+    Gi* = (S_i − m·n_i) / (s · sqrt((N·n_i − n_i²) / (N−1))) with
+    S_i the neighborhood sum, n_i the realized neighborhood size
+    (edges renormalize, like masks.focal_mean_3x3), m and s the
+    global mean / population std per time slice.
+
+    Plan: the focal scatter→gather shape — constant 9× scan-side
+    explode, ONE map-side-combined agg on (time, ty, tx), a join back
+    on the agg's own key to drop phantom edge targets, and a
+    broadcast-sized join of the per-time global aggregate.  No pair
+    self-join, no window.  All SUMS (S_i, Σx, Σx², counts) are exact
+    dyadic reductions; the post-aggregation scalar algebra divides by
+    the mean and takes sqrts, so the statistic rounds to 6 dp (the
+    morans_i / cell_area mitigation).
+    """
+    d = _with_idx(df, lat0, dlat, lon0, dlon)
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    scattered = d.select(
+        time_col,
+        F.col(value_col).alias("v"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("y_idx") + F.lit(dy)).alias("ty"),
+                    (F.col("x_idx") + F.lit(dx)).alias("tx"),
+                )
+                for dy, dx in offs
+            ])
+        ).alias("t"),
+    ).select(time_col, "v", F.col("t.ty").alias("ty"), F.col("t.tx").alias("tx"))
+    hood = scattered.groupBy(time_col, "ty", "tx").agg(
+        F.sum("v").alias("s_i"),
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+    )
+    base = d.groupBy(time_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(value_col).alias("x_sum"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("xx_sum"),
+    )
+    cells = d.select(time_col, F.col("y_idx").alias("ty"),
+                     F.col("x_idx").alias("tx"))
+    j = hood.join(cells, [time_col, "ty", "tx"]).join(
+        F.broadcast(base), time_col
+    )
+    m = F.col("x_sum") / F.col("n")
+    s = F.sqrt(F.col("xx_sum") / F.col("n") - m * m)
+    den = s * F.sqrt(
+        (F.col("n") * F.col("n_i") - F.col("n_i") * F.col("n_i"))
+        / (F.col("n") - F.lit(1.0))
+    )
+    return j.select(
+        time_col,
+        F.col("ty").alias("y_idx"),
+        F.col("tx").alias("x_idx"),
+        "n_i",
+        F.round((F.col("s_i") - m * F.col("n_i")) / den, 6).alias("gi_r6"),
+    )

@@ -3756,6 +3756,57 @@ FROM bagg b JOIN pagg p ON b.hour = p.hour
 """
 
 
+def q_getis_gstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Getis-Ord Gi* hotspot statistic (queen contiguity incl
+    self) per cell and hour over the temperature field
+    (geostats.getis_ord_gstar) — the hot/cold-spot companion to the
+    global Moran's I.  Focal scatter→gather plan: 9× scan-side
+    explode, one map-side-combined agg, join back on the agg's own
+    key (edges renormalize), broadcast per-hour global aggregate.
+    Dyadic sums; final scalar algebra rounds to 6 dp."""
+    from geodata_spark import geostats as GS
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    return GS.getis_ord_gstar(gv, "temperature").withColumn(
+        "hour", F.col("hour").cast("long")
+    )
+
+
+_GETIS_SQL = f"""
+WITH {_GV_CTE},
+idx AS (
+  SELECT hour,
+         CAST(round((lat - 18.25) / 0.5) AS BIGINT) AS y,
+         CAST(round((lon - 73.3125) / 0.625) AS BIGINT) AS x,
+         temperature AS v
+  FROM gridv
+),
+scattered AS (
+  SELECT i.hour, i.y + o.dy AS ty, i.x + o.dx AS tx, i.v
+  FROM idx i,
+       (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+         o(dy, dx)
+),
+hood AS (
+  SELECT hour, ty, tx, sum(v) AS s_i, CAST(count(*) AS BIGINT) AS n_i
+  FROM scattered GROUP BY hour, ty, tx
+),
+bagg AS (
+  SELECT hour, CAST(count(*) AS BIGINT) AS n,
+         sum(v) AS x_sum, sum(v * v) AS xx_sum
+  FROM idx GROUP BY hour
+)
+SELECT CAST(h.hour AS BIGINT) AS hour, h.ty AS y_idx, h.tx AS x_idx, h.n_i,
+       round((h.s_i - (b.x_sum / b.n) * h.n_i)
+             / (sqrt(b.xx_sum / b.n - (b.x_sum / b.n) * (b.x_sum / b.n))
+                * sqrt((b.n * h.n_i - h.n_i * h.n_i) / (b.n - 1.0))), 6)
+         AS gi_r6
+FROM hood h
+JOIN idx i ON i.hour = h.hour AND i.y = h.ty AND i.x = h.tx
+JOIN bagg b ON b.hour = h.hour
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over the events table: signup → view → click →
     purchase, each step's timestamp strictly after the previous
@@ -5290,6 +5341,7 @@ QUERIES = {
     "cell_entropy": q_cell_entropy,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_refine": q_ann_pq_refine,
+    "getis_gstar": q_getis_gstar,
 }
 
 ORACLES = {
@@ -5435,4 +5487,5 @@ ORACLES = {
     "ann_pq_topk": SIM.pq_topk_sql(m=4, ksub=4, iters=2, dim=64, k=5,
                                    n_queries=8),
     "ann_pq_refine": _pq_refine_sql(),
+    "getis_gstar": _GETIS_SQL,
 }

@@ -572,3 +572,52 @@ def test_cell_entropy_numpy_twin(spark):
     assert row.n == counts.sum()
     assert abs(row.entropy_r6 - want) < 1e-6
     assert 0.0 <= row.entropy_r6 <= np.log(16) + 1e-9
+
+
+def test_getis_gstar_numpy_twin_and_edges(spark):
+    """Gi* vs numpy brute force on a small grid: neighborhood sums,
+    edge renormalization (corner n_i=4, edge 6, interior 9), and the
+    hot-corner sign structure."""
+    from geodata_spark.geostats import getis_ord_gstar
+
+    rng = np.random.RandomState(11)
+    arr = np.round(rng.uniform(0, 32, size=(5, 7)) * 16) / 16  # dyadic
+    arr[0, 0] = 100.0  # hot corner
+    out = getis_ord_gstar(_grid_df(spark, arr), "v").collect()
+    got = {(r.y_idx, r.x_idx): (r.n_i, r.gi_r6) for r in out}
+    ny, nx = arr.shape
+    assert len(got) == ny * nx
+    n = ny * nx
+    m = arr.sum() / n
+    s = np.sqrt((arr**2).sum() / n - m * m)
+    for y in range(ny):
+        for x in range(nx):
+            ys = slice(max(0, y - 1), min(ny, y + 2))
+            xs = slice(max(0, x - 1), min(nx, x + 2))
+            hood = arr[ys, xs]
+            n_i, s_i = hood.size, hood.sum()
+            want = (s_i - m * n_i) / (
+                s * np.sqrt((n * n_i - n_i * n_i) / (n - 1.0))
+            )
+            assert got[(y, x)][0] == n_i, (y, x)
+            assert abs(got[(y, x)][1] - want) < 2e-6, (y, x)
+    assert got[(0, 0)][0] == 4 and got[(0, 3)][0] == 6 and got[(2, 3)][0] == 9
+    # the hot corner and its neighbors are the strongest hotspots
+    assert got[(0, 0)][1] == max(v for _, v in got.values())
+    assert got[(0, 0)][1] > 0 and got[(4, 6)][1] < got[(0, 0)][1]
+
+
+def test_getis_gstar_plan_shape(spark):
+    """Scale-shape pin: Gi* is scatter->gather -- a Generate explode,
+    hash aggregates, and only broadcast/equi joins (no cartesian, no
+    window)."""
+    from geodata_spark.geostats import getis_ord_gstar
+    from geodata_spark.synth import synth_grid_vars
+
+    gv = synth_grid_vars(spark, nhours=2, ny=4, nx=4,
+                         variables=("temperature",))
+    plan = getis_ord_gstar(gv, "temperature")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan

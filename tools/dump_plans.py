@@ -194,6 +194,12 @@ NOTES = {
         "WindowGroupLimit top-k — training (per-subspace Lloyd) runs "
         "at plan-build time with model-sized collects only"
     ),
+    "getis_gstar": (
+        "focal scatter->gather: constant 9x Generate explode, ONE "
+        "map-side-combined agg on (hour, ty, tx), join back on the "
+        "agg's own key, broadcast per-hour global aggregate — no pair "
+        "self-join, no window"
+    ),
     "ann_pq_refine": (
         "two-pass ANN: compressed ADC shortlist (one code-table scan) "
         "then an id-keyed semi-join re-rank touching nq*shortlist raw "
