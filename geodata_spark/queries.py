@@ -5144,6 +5144,62 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin–destination flow matrix (the mobility-analytics staple):
+    consecutive events of the same user are a transition between their
+    prop zones when they fall inside one session (gap ≤ 30 min — the
+    q_events_sessions guard), aggregated to (origin, destination) with
+    flow and distinct-user counts.  Self-loops (o = d) are kept; they
+    are the stay-put diagonal a mobility user expects.
+
+    Plan: ONE user-keyed ordered window pass (lag of zone + ts), one
+    hash aggregate — the same two-exchange shape as sessionization; at
+    100 TB this partitions by user (bounded per-user history, no hot
+    keys beyond real power users, which AQE skew-split absorbs).
+    Zone extraction is engine-neutral regexp (no JSON extension
+    dependency on the oracle side)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    zone = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    t = ev.select(
+        "user_id",
+        F.lag(zone).over(w).alias("o_zone"),
+        zone.alias("d_zone"),
+        (epoch - F.lag(epoch).over(w)).alias("gap"),
+    )
+    return (
+        t.filter(F.col("o_zone").isNotNull() & (F.col("gap") <= 1800))
+        .groupBy("o_zone", "d_zone")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_flows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+_OD_MATRIX_SQL = r"""
+WITH z AS (
+  SELECT user_id, event_id, ts,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS zone
+  FROM events
+),
+t AS (
+  SELECT user_id,
+         lag(zone) OVER w AS o_zone, zone AS d_zone,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap
+  FROM z WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT o_zone, d_zone, count(*) AS n_flows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t
+WHERE o_zone IS NOT NULL AND gap <= 1800
+GROUP BY o_zone, d_zone
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5342,6 +5398,7 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_refine": q_ann_pq_refine,
     "getis_gstar": q_getis_gstar,
+    "od_matrix": q_od_matrix,
 }
 
 ORACLES = {
@@ -5488,4 +5545,5 @@ ORACLES = {
                                    n_queries=8),
     "ann_pq_refine": _pq_refine_sql(),
     "getis_gstar": _GETIS_SQL,
+    "od_matrix": _OD_MATRIX_SQL,
 }

@@ -621,3 +621,42 @@ def test_getis_gstar_plan_shape(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Generate explode" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_od_matrix_session_guard_and_flows(spark):
+    """Hand-built event stream: transitions only inside the 30-min
+    gap, self-loops kept, per-user ordering by (ts, event_id), and
+    distinct-user counting."""
+    from geodata_spark.queries import q_od_matrix
+    import datetime as dt
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, uid, minutes, k):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid,
+                "view", 1.0, '{"k": %d}' % k)
+
+    rows = [
+        # user 1: A->B (5 min), B->B self-loop (10 min),
+        # B-/->C (61 min: new session), C->A (1 min)
+        row(1, 1, 0, 10), row(2, 1, 5, 11), row(3, 1, 15, 11),
+        row(4, 1, 76, 12), row(5, 1, 77, 10),
+        # user 2: A->B too (second distinct user on that edge)
+        row(6, 2, 0, 10), row(7, 2, 29, 11),
+        # user 3: single event, no transition
+        row(8, 3, 0, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {(r.o_zone, r.d_zone): (r.n_flows, r.n_users)
+           for r in q_od_matrix(spark, d).collect()}
+    assert got == {
+        (10, 11): (2, 2),   # A->B from users 1 and 2
+        (11, 11): (1, 1),   # self-loop kept
+        (12, 10): (1, 1),   # C->A inside the second session
+    }

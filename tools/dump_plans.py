@@ -200,6 +200,11 @@ NOTES = {
         "agg's own key, broadcast per-hour global aggregate — no pair "
         "self-join, no window"
     ),
+    "od_matrix": (
+        "one user-keyed ordered window (lag of zone + ts) then one "
+        "hash aggregate — the sessionization two-exchange shape; zone "
+        "extraction is Catalyst regexp, no JSON library"
+    ),
     "ann_pq_refine": (
         "two-pass ANN: compressed ADC shortlist (one code-table scan) "
         "then an id-keyed semi-join re-rank touching nq*shortlist raw "
