@@ -109,6 +109,141 @@ def contamination_screen(
     )
 
 
+def bloom_contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-phase benchmark decontamination with a Bloom-filter screen:
+    the eval set's shingles are folded into an ``m_bits`` bitset
+    (``k_hashes`` md5-hex-slice positions per shingle — the md5_60
+    family, so DuckDB derives identical bits), the bitset enters the
+    corpus scan as a LITERAL long array, and only the shingles that
+    pass the screen take the exact broadcast join.
+
+    Why a Bloom screen when :func:`contamination_screen` broadcasts
+    the shingles themselves: at 100 TB the eval union (every benchmark
+    ever published) is tens of millions of shingles — a multi-GB
+    broadcast hash relation — while the bitset is m/8 bytes flat
+    (2 MiB at m=2²⁴) and the membership test is k AND-ed bit probes in
+    whole-stage codegen, no join node at all for the clean 99%+ of
+    shingles.  False positives cost only a wasted exact probe; false
+    negatives are impossible, so the final flags are exact.
+
+    Output per corpus doc with ≥1 Bloom hit: (doc_id, n_shingles,
+    n_bloom_hits, n_exact_hits) — rows with n_exact_hits = 0 are the
+    measured false-positive docs, part of the contract (they prove
+    the screen's math and measure its FP rate in production).
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    corpus_sh = with_shingles(docs, n, id_col, text_col)
+    bench_sh = with_shingles(benchmark, n, id_col, text_col) \
+        .select("shingle").distinct()
+
+    def positions(col: Column) -> list[Column]:
+        return [
+            F.conv(F.substring(F.md5(col), 1 + 8 * h, 8), 16, 10)
+            .cast("long").bitwiseAND(F.lit(m_bits - 1))
+            for h in range(k_hashes)
+        ]
+
+    # eval-set bits: k positions per DISTINCT bench shingle, computed
+    # by the SAME Catalyst expressions as the corpus probe, collected
+    # (eval-set sized) and packed driver-side into m/64 long words
+    bits = [
+        r["b"]
+        for r in bench_sh.select(
+            F.explode(F.array(*positions(F.col("shingle")))).alias("b")
+        ).distinct().collect()
+    ]
+    words = [0] * (m_bits // 64)
+    for b in bits:
+        words[b >> 6] |= 1 << (b & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]  # java long
+    warr = F.array(*[F.lit(w).cast("long") for w in words])
+    pow2 = F.array(*[
+        F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+        for i in range(64)
+    ])
+
+    hit = None
+    for p in positions(F.col("shingle")):
+        word = F.element_at(warr, (F.floor(p / 64) + 1).cast("int"))
+        mask = F.element_at(pow2, (p.bitwiseAND(F.lit(63)) + 1).cast("int"))
+        probe = word.bitwiseAND(mask) != 0
+        hit = probe if hit is None else hit & probe
+
+    screened = corpus_sh.withColumn("bloom_hit", hit)
+    per_doc = screened.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+    )
+    exact = (
+        screened.filter("bloom_hit")
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_hits"))
+    )
+    return (
+        per_doc.join(exact, id_col, "left")
+        .fillna({"n_exact_hits": 0})
+        .filter(F.col("n_bloom_hits") > 0)
+    )
+
+
+def bloom_contamination_sql(
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+    bench_filter: str = "id % 97 = 0",
+) -> str:
+    """DuckDB twin of :func:`bloom_contamination_screen`: the bitset
+    test is re-expressed as membership of each md5-slice position in
+    the DISTINCT eval-position set — semantically identical to the bit
+    probe (a bit is set iff some eval shingle hashed to it)."""
+
+    def pos(h: int) -> str:
+        return (f"(CAST(('0x' || substr(md5(shingle), {1 + 8 * h}, 8)) "
+                f"AS BIGINT) & {m_bits - 1})")
+
+    probe = " AND ".join(
+        f"{pos(h)} IN (SELECT b FROM bpos)" for h in range(k_hashes)
+    )
+    unnest = ", ".join(pos(h) for h in range(k_hashes))
+    return f"""
+WITH {shingles_cte()},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE {bench_filter}),
+bpos AS (SELECT DISTINCT unnest([{unnest}]) AS b FROM bench),
+cpos AS MATERIALIZED (
+  -- MATERIALIZED: cpos is consumed twice (agg1 + ex); DuckDB's
+  -- default CTE inlining duplicates the IN-subqueries and trips an
+  -- internal binder assertion ("Failed to bind column reference
+  -- SUBQUERY") — materializing evaluates the probes once
+  SELECT id, shingle, ({probe}) AS bloom_hit
+  FROM sh WHERE NOT ({bench_filter})
+),
+agg1 AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits
+  FROM cpos GROUP BY id
+),
+ex AS (
+  SELECT c.id, CAST(count(*) AS BIGINT) AS n_exact_hits
+  FROM cpos c JOIN bench USING (shingle)
+  WHERE c.bloom_hit GROUP BY c.id
+)
+SELECT a.id AS doc_id, a.n_shingles, a.n_bloom_hits,
+       coalesce(e.n_exact_hits, CAST(0 AS BIGINT)) AS n_exact_hits
+FROM agg1 a LEFT JOIN ex e USING (id)
+WHERE a.n_bloom_hits > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # shingles + Jaccard
 # ---------------------------------------------------------------------------

@@ -5200,6 +5200,24 @@ GROUP BY o_zone, d_zone
 """
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase decontamination: a 16384-bit Bloom screen (3 md5-slice
+    probes per shingle, bitset broadcast as a literal long array) in
+    whole-stage codegen, then an exact broadcast join ONLY for the
+    shingles that pass.  Rows with n_exact_hits = 0 are the measured
+    false positives — the oracle re-derives the bitset from the same
+    md5 arithmetic, so the FP set itself is hash-checked, not just the
+    exact flags.  At 100 TB the bitset replaces a multi-GB broadcast
+    of raw eval shingles with m/8 flat bytes and k AND-ed bit probes
+    per shingle (dedup.bloom_contamination_screen)."""
+    docs = _docs(spark, sf_dir).withColumn("doc_id",
+                                           F.col("doc_id").cast("long"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return DD.bloom_contamination_screen(corpus, bench, n=3,
+                                         m_bits=16384, k_hashes=3)
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5399,6 +5417,7 @@ QUERIES = {
     "ann_pq_refine": q_ann_pq_refine,
     "getis_gstar": q_getis_gstar,
     "od_matrix": q_od_matrix,
+    "bloom_decontam": q_bloom_decontam,
 }
 
 ORACLES = {
@@ -5546,4 +5565,5 @@ ORACLES = {
     "ann_pq_refine": _pq_refine_sql(),
     "getis_gstar": _GETIS_SQL,
     "od_matrix": _OD_MATRIX_SQL,
+    "bloom_decontam": DD.bloom_contamination_sql(m_bits=16384, k_hashes=3),
 }

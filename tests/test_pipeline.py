@@ -877,3 +877,43 @@ def test_pq_topk_refined_numpy_twin(spark, vecs):
         np.testing.assert_allclose(
             sub.dot_r6.to_numpy(), [w[1] for w in want], atol=2e-6
         )
+
+
+def test_bloom_contamination_screen_python_twin(spark, docs):
+    """The Bloom screen vs a hashlib.md5 recompute: identical bit
+    positions (Catalyst conv(substr(md5)) == hashlib), zero false
+    negatives by construction, n_exact <= n_bloom <= n_shingles, and
+    the per-doc Bloom-hit counts match the python bitset exactly."""
+    import hashlib
+
+    m_bits, k = 1024, 3  # small filter so false positives actually occur
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_bloom_hits, r.n_exact_hits)
+        for r in DD.bloom_contamination_screen(
+            corpus, bench, n=3, m_bits=m_bits, k_hashes=k
+        ).collect()
+    }
+
+    def positions(sh: str) -> list[int]:
+        h = hashlib.md5(sh.encode()).hexdigest()
+        return [int(h[8 * j:8 * j + 8], 16) & (m_bits - 1) for j in range(k)]
+
+    bench_sh = {r.shingle for r in DD.with_shingles(bench).collect()}
+    bits = {p for s in bench_sh for p in positions(s)}
+    corpus_sh: dict[int, set] = {}
+    for r in DD.with_shingles(corpus).collect():
+        corpus_sh.setdefault(r.id, set()).add(r.shingle)
+
+    saw_fp_shingle = False
+    for did, shs in corpus_sh.items():
+        bloom = {s for s in shs if all(p in bits for p in positions(s))}
+        exact = shs & bench_sh
+        assert exact <= bloom  # a Bloom filter cannot false-negative
+        saw_fp_shingle = saw_fp_shingle or bool(bloom - exact)
+        if bloom:
+            assert got[did] == (len(shs), len(bloom), len(exact)), did
+        else:
+            assert did not in got
+    assert saw_fp_shingle  # the small filter really exercised FPs

@@ -205,6 +205,12 @@ NOTES = {
         "hash aggregate — the sessionization two-exchange shape; zone "
         "extraction is Catalyst regexp, no JSON library"
     ),
+    "bloom_decontam": (
+        "Bloom bitset as a literal long array: k AND-ed bit probes in "
+        "whole-stage codegen screen every corpus shingle with NO join; "
+        "only survivors take the exact broadcast join — two shuffles "
+        "total (the two per-doc aggs)"
+    ),
     "ann_pq_refine": (
         "two-pass ANN: compressed ADC shortlist (one code-table scan) "
         "then an id-keyed semi-join re-rank touching nq*shortlist raw "
