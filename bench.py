@@ -504,12 +504,16 @@ def ann_crossover(spark, k: int = 10, n_queries: int = 256) -> dict:
         pq = SIM.pq_topk(cached_codes, pq_saved["books"], queries, k=k)
         entry["pq_sec"] = best_of(pq)
         entry["pq_recall"] = recall(pq)
-        # PQ + exact re-rank (FAISS refine shape): ADC shortlist of 50,
-        # then an id-keyed exact re-rank touching nq*50 vectors — the
-        # deployment shape where recall comes back without rescanning
+        # PQ + exact re-rank (FAISS refine shape): ADC shortlist of 1%
+        # of the corpus (min 100), then an id-keyed exact re-rank of
+        # nq*shortlist vectors — the deployment shape where recall
+        # comes back without rescanning; shortlist ∝ n keeps the
+        # re-ranked fraction constant as the corpus grows
+        shortlist = max(100, n // 100)
         pq_ref = SIM.pq_topk_refined(
             cached_codes, pq_saved["books"], vecs, queries,
-            k=k, shortlist=50)
+            k=k, shortlist=shortlist)
+        entry["pq_shortlist"] = shortlist
         entry["pq_refine_sec"] = best_of(pq_ref)
         entry["pq_refine_recall"] = recall(pq_ref)
         report["sizes"][str(n)] = entry

@@ -232,10 +232,15 @@ def getis_ord_gstar(
         (F.col("n") * F.col("n_i") - F.col("n_i") * F.col("n_i"))
         / (F.col("n") - F.lit(1.0))
     )
+    # constant field (or n_i = n = 1) makes the denominator 0 — no
+    # spatial structure to test, so Gi* is 0 by convention (and ANSI
+    # mode would otherwise raise DIVIDE_BY_ZERO)
+    gi = F.when(den > 0, F.round((F.col("s_i") - m * F.col("n_i")) / den, 6)) \
+        .otherwise(F.lit(0.0))
     return j.select(
         time_col,
         F.col("ty").alias("y_idx"),
         F.col("tx").alias("x_idx"),
         "n_i",
-        F.round((F.col("s_i") - m * F.col("n_i")) / den, 6).alias("gi_r6"),
+        gi.alias("gi_r6"),
     )

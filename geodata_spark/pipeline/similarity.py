@@ -577,23 +577,28 @@ def pq_topk(
             s += float(x) * float(y)
         return s
 
+    # ONE FLAT array per query (index j·ksub + code): a single-level
+    # element_at per subspace in codegen — the nested
+    # array<array<double>> form measured 3.5x slower than brute force
+    # at 25.6M join rows (two-level GenericArrayData access per term)
+    ksub = len(books[0])
     lut_rows = []
     for r in queries.select(q_id_col, q_vec_col).collect():
         qv = [float(x) for x in r[1]]
         lut = [
-            [round(seq_dot(qv[j * dsub:(j + 1) * dsub], cent), 6)
-             for cent in books[j]]
+            round(seq_dot(qv[j * dsub:(j + 1) * dsub], cent), 6)
             for j in range(m)
+            for cent in books[j]
         ]
         lut_rows.append((r[0], lut))
     luts = spark.createDataFrame(
-        lut_rows, f"{q_id_col} long, _lut array<array<double>>"
+        lut_rows, f"{q_id_col} long, _lut array<double>"
     )
 
     score = None
     for j in range(m):
         term = F.element_at(
-            F.element_at("_lut", j + 1), F.col("codes").getItem(j) + 1
+            "_lut", F.col("codes").getItem(j) + F.lit(j * ksub + 1)
         )
         score = term if score is None else score + term
     w = Window.partitionBy(q_id_col).orderBy(

@@ -3797,9 +3797,12 @@ bagg AS (
   FROM idx GROUP BY hour
 )
 SELECT CAST(h.hour AS BIGINT) AS hour, h.ty AS y_idx, h.tx AS x_idx, h.n_i,
-       round((h.s_i - (b.x_sum / b.n) * h.n_i)
-             / (sqrt(b.xx_sum / b.n - (b.x_sum / b.n) * (b.x_sum / b.n))
-                * sqrt((b.n * h.n_i - h.n_i * h.n_i) / (b.n - 1.0))), 6)
+       CASE WHEN sqrt(b.xx_sum / b.n - (b.x_sum / b.n) * (b.x_sum / b.n))
+                 * sqrt((b.n * h.n_i - h.n_i * h.n_i) / (b.n - 1.0)) > 0
+            THEN round((h.s_i - (b.x_sum / b.n) * h.n_i)
+                 / (sqrt(b.xx_sum / b.n - (b.x_sum / b.n) * (b.x_sum / b.n))
+                    * sqrt((b.n * h.n_i - h.n_i * h.n_i) / (b.n - 1.0))), 6)
+            ELSE 0.0 END
          AS gi_r6
 FROM hood h
 JOIN idx i ON i.hour = h.hour AND i.y = h.ty AND i.x = h.tx
@@ -5218,6 +5221,205 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          m_bits=16384, k_hashes=3)
 
 
+_AREAL_POP = {  # per-source-zone attribute to transfer (dyadic)
+    "north_rect": 1000.0, "south_rect": 2000.0, "east_tri": 3000.0,
+    "coast_l": 4000.0, "islands": 5000.0,
+}
+
+
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (zone→hex transfer matrix): re-aggregate a
+    per-zone attribute onto the hex5 grid by uniform-cell areal
+    weighting — share(A→h) = pop_A · n_cells(A∩h) / n_cells(A), the
+    standard dasymetric-free areal-weighting estimator (Goodchild &
+    Lam 1980).  Output is the per-(zone, hex) CONTRIBUTION matrix
+    rather than the per-hex sum: each row is a single division (6-dp
+    rounded once — no cross-zone float summation whose order could
+    differ between engines), and the matrix form is what a user
+    composes with any downstream attribute.
+
+    Plan: lattice → codegen CASE PIP (broadcast zone cover) + hex
+    encode in the same scan stage → ONE map-side-combined count on
+    (zone, hex); n_cells(A) re-aggregates that tiny result — the
+    lattice is scanned once.  Overlapping zones (east_tri/coast_l)
+    contribute independent rows, matching the reference's independent
+    per-zone shape masks."""
+    from geodata_spark import hexgrid as HG
+
+    # the FULL 72x101 synth lattice (the hex fixture's exact domain):
+    # the _gv query slice only reaches lon < 86, which leaves every
+    # eastern zone empty — areal weighting needs the whole window
+    pts = synth_grid_vars(
+        spark, nhours=1, ny=72, nx=101, variables=("temperature",)
+    ).select("lat", "lon")
+    zoned = spatial.join_zones(pts, spark).withColumn(
+        "hex5", HG.hex7_token_udf(5)(F.col("lat"), F.col("lon"))
+    )
+    ab = zoned.groupBy("zone_id", "hex5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_ab")
+    )
+    a = ab.groupBy("zone_id").agg(F.sum("n_cells_ab").alias("n_cells_a"))
+    pop = spark.createDataFrame(
+        sorted(_AREAL_POP.items()), "zone_id string, pop double"
+    )
+    return (
+        ab.join(F.broadcast(a), "zone_id")
+        .join(F.broadcast(pop), "zone_id")
+        .select(
+            "zone_id", "hex5", "n_cells_ab", "n_cells_a",
+            F.round(
+                F.col("pop") * F.col("n_cells_ab") / F.col("n_cells_a"), 6
+            ).alias("pop_share_r6"),
+        )
+    )
+
+
+def _areal_interp_sql() -> str:
+    import os
+
+    from geodata_spark.zones import zone_membership_sql
+
+    fx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "resources",
+        "hex5_grid_dim.parquet",
+    )
+    pop_vals = ", ".join(
+        f"('{z}', {v!r})" for z, v in sorted(_AREAL_POP.items())
+    )
+    return f"""
+WITH {grid_vars_sql_cte(nhours=1, ny=72, nx=101)},
+pts AS (
+  SELECT DISTINCT lat, lon,
+         CAST(round((lat - 18.25) / 0.5) AS BIGINT) AS lat_idx,
+         CAST(round((lon - 73.3125) / 0.625) AS BIGINT) AS lon_idx
+  FROM gridv
+),
+zoned AS ({zone_membership_sql('pts')}),
+dim AS (
+  SELECT CAST(lat_idx AS BIGINT) AS lat_idx,
+         CAST(lon_idx AS BIGINT) AS lon_idx, hex5
+  FROM read_parquet('{fx}')
+),
+ab AS (
+  SELECT z.zone_id, d.hex5, CAST(count(*) AS BIGINT) AS n_cells_ab
+  FROM zoned z JOIN dim d USING (lat_idx, lon_idx)
+  GROUP BY z.zone_id, d.hex5
+),
+a AS (
+  SELECT zone_id, CAST(sum(n_cells_ab) AS BIGINT) AS n_cells_a
+  FROM ab GROUP BY zone_id
+),
+pop(zone_id, pop) AS (VALUES {pop_vals})
+SELECT ab.zone_id, ab.hex5, ab.n_cells_ab, a.n_cells_a,
+       round(pop.pop * ab.n_cells_ab / a.n_cells_a, 6) AS pop_share_r6
+FROM ab JOIN a USING (zone_id) JOIN pop USING (zone_id)
+"""
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot spot analysis (the space-time-cube classifier):
+    Gi* per (cell, hour) — geostats.getis_ord_gstar — then the
+    Mann–Kendall trend of each cell's Gi* series (model.theil_sen_mk,
+    tie-corrected), classified into state/trend categories by the
+    |z| > 1.645 (90%) convention: a 'neutral/up' cell is an EMERGING
+    hotspot, 'hot/down' is fading.  Both stages are the already-
+    oracle-paired machines; their composition is re-derived end to
+    end in the SQL twin.
+
+    Cross-engine exactness: Gi* values are rounded once (6 dp) at the
+    Gi* stage, so every downstream comparison/sign/median sees
+    IDENTICAL doubles in both engines — slopes are single IEEE
+    divisions, S and ties are integers, the final category CASE
+    compares the same rounded z.  Scale shape: pair generation is
+    WITHIN each cell group (T=48 bounded), the classifier adds one
+    max_by agg and a broadcast-sized join."""
+    from geodata_spark import geostats as GS
+    from geodata_spark.model import theil_sen_mk
+
+    gv = _gv(spark).select("hour", "lat", "lon", "temperature")
+    gi = GS.getis_ord_gstar(gv, "temperature")
+    mk = theil_sen_mk(gi, ["y_idx", "x_idx"], t_col="hour", y_col="gi_r6")
+    last = gi.groupBy("y_idx", "x_idx").agg(
+        F.max_by("gi_r6", "hour").alias("gi_last")
+    )
+    j = mk.join(last, ["y_idx", "x_idx"])
+    state = (
+        F.when(F.col("gi_last") > 1.645, "hot")
+        .when(F.col("gi_last") < -1.645, "cold")
+        .otherwise("neutral")
+    )
+    trend = (
+        F.when(F.col("z_mk_r6") > 1.645, "up")
+        .when(F.col("z_mk_r6") < -1.645, "down")
+        .otherwise("flat")
+    )
+    return j.select(
+        "y_idx", "x_idx", "n", "n_pairs", "s_mk", "slope_ts",
+        "z_mk_r6", "gi_last",
+        F.concat_ws("/", state, trend).alias("category"),
+    )
+
+
+_EMERGING_SQL = f"""
+WITH gi AS MATERIALIZED ({_GETIS_SQL}),
+pairsx AS (
+  SELECT a.y_idx, a.x_idx,
+         (b.gi_r6 - a.gi_r6) / CAST(b.hour - a.hour AS DOUBLE) AS slope,
+         CAST(sign(b.gi_r6 - a.gi_r6) AS BIGINT) AS sgn
+  FROM gi a
+  JOIN gi b ON a.y_idx = b.y_idx AND a.x_idx = b.x_idx AND b.hour > a.hour
+),
+pagg AS (
+  SELECT y_idx, x_idx,
+         quantile_cont(slope, 0.5) AS slope_ts,
+         CAST(sum(sgn) AS BIGINT) AS s_mk,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairsx GROUP BY y_idx, x_idx
+),
+tiec AS (
+  SELECT y_idx, x_idx, CAST(count(*) AS BIGINT) AS t
+  FROM gi GROUP BY y_idx, x_idx, gi_r6
+),
+tagg AS (
+  SELECT y_idx, x_idx, CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM tiec GROUP BY y_idx, x_idx
+),
+lastv AS (
+  SELECT y_idx, x_idx, arg_max(gi_r6, hour) AS gi_last
+  FROM gi GROUP BY y_idx, x_idx
+),
+j AS (
+  SELECT p.y_idx, p.x_idx, t.n, p.n_pairs, p.s_mk, p.slope_ts, l.gi_last,
+         round(CASE
+           WHEN p.s_mk > 0
+                AND t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term > 0
+           THEN (p.s_mk - 1)
+                / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term
+                            AS DOUBLE) / 18.0)
+           WHEN p.s_mk < 0
+                AND t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term > 0
+           THEN (p.s_mk + 1)
+                / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term
+                            AS DOUBLE) / 18.0)
+           ELSE 0.0
+         END, 6) AS z_mk_r6
+  FROM pagg p
+  JOIN tagg t ON p.y_idx = t.y_idx AND p.x_idx = t.x_idx
+  JOIN lastv l ON p.y_idx = l.y_idx AND p.x_idx = l.x_idx
+)
+SELECT y_idx, x_idx, n, n_pairs, s_mk, slope_ts, z_mk_r6, gi_last,
+       (CASE WHEN gi_last > 1.645 THEN 'hot'
+             WHEN gi_last < -1.645 THEN 'cold'
+             ELSE 'neutral' END
+        || '/' ||
+        CASE WHEN z_mk_r6 > 1.645 THEN 'up'
+             WHEN z_mk_r6 < -1.645 THEN 'down'
+             ELSE 'flat' END) AS category
+FROM j
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5418,6 +5620,8 @@ QUERIES = {
     "getis_gstar": q_getis_gstar,
     "od_matrix": q_od_matrix,
     "bloom_decontam": q_bloom_decontam,
+    "areal_interp": q_areal_interp,
+    "emerging_hotspots": q_emerging_hotspots,
 }
 
 ORACLES = {
@@ -5566,4 +5770,6 @@ ORACLES = {
     "getis_gstar": _GETIS_SQL,
     "od_matrix": _OD_MATRIX_SQL,
     "bloom_decontam": DD.bloom_contamination_sql(m_bits=16384, k_hashes=3),
+    "areal_interp": _areal_interp_sql(),
+    "emerging_hotspots": _EMERGING_SQL,
 }

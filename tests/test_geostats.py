@@ -660,3 +660,68 @@ def test_od_matrix_session_guard_and_flows(spark):
         (11, 11): (1, 1),   # self-loop kept
         (12, 10): (1, 1),   # C->A inside the second session
     }
+
+
+def test_areal_interp_shares_sum_to_pop(spark):
+    """Pycnophylactic property: each zone's shares sum back to its
+    attribute (mass preservation); overlapping zones contribute
+    independent rows; every weight denominator is the zone's full
+    lattice cell count."""
+    from geodata_spark.deploy import ensure_py_files
+    from geodata_spark.queries import _AREAL_POP, q_areal_interp
+
+    ensure_py_files(spark)  # hex encode UDF runs on workers
+    pdf = q_areal_interp(spark, "unused").toPandas()
+    assert set(pdf.columns) == {"zone_id", "hex5", "n_cells_ab",
+                                "n_cells_a", "pop_share_r6"}
+    for z, g in pdf.groupby("zone_id"):
+        # one denominator per zone, equal to the sum of its cell counts
+        assert g.n_cells_a.nunique() == 1
+        assert g.n_cells_ab.sum() == g.n_cells_a.iloc[0]
+        # mass preservation (6-dp rounding -> loose tolerance)
+        assert abs(g.pop_share_r6.sum() - _AREAL_POP[z]) < 1e-3, z
+    # overlap: east_tri and coast_l both cover hexes near the diagonal
+    hx = set(pdf[pdf.zone_id == "east_tri"].hex5) & set(
+        pdf[pdf.zone_id == "coast_l"].hex5)
+    assert hx, "expected overlapping east_tri/coast_l hex contributions"
+
+
+def test_emerging_hotspots_planted_trend(spark):
+    """A corner block whose values ramp up over time becomes an
+    'up'-trend hotspot; a static field classifies every cell 'flat'
+    with z = 0; categories agree with the row's own z/gi_last."""
+    from pyspark.sql import functions as F
+
+    from geodata_spark.geostats import getis_ord_gstar
+    from geodata_spark.model import theil_sen_mk
+
+    ny, nx, nt = 6, 6, 8
+    rng = np.random.RandomState(3)
+    base = np.round(rng.uniform(0, 4, size=(ny, nx)) * 16) / 16
+    rows = []
+    for t in range(nt):
+        arr = base.copy()
+        arr[0:2, 0:2] += 8.0 * t  # ramping hot corner
+        for y in range(ny):
+            for x in range(nx):
+                rows.append((t, LAT0 + DLAT * y, LON0 + DLON * x,
+                             float(arr[y, x])))
+    df = spark.createDataFrame(rows, "hour long, lat double, lon double, v double")
+    gi = getis_ord_gstar(df, "v")
+    mk = theil_sen_mk(gi, ["y_idx", "x_idx"], t_col="hour", y_col="gi_r6")
+    last = gi.groupBy("y_idx", "x_idx").agg(
+        F.max_by("gi_r6", "hour").alias("gi_last"))
+    out = {(r.y_idx, r.x_idx): r for r in mk.join(last, ["y_idx", "x_idx"]).collect()}
+    assert len(out) == ny * nx and all(r.n == nt for r in out.values())
+    corner = out[(0, 0)]
+    assert corner.z_mk_r6 > 1.645 and corner.gi_last > 1.645  # hot/up
+    far = out[(5, 5)]
+    assert far.gi_last < 0  # the far corner turns relatively cold
+
+    # static field: every z is exactly 0 (all-tied variance guard)
+    static = [(t, LAT0 + DLAT * y, LON0 + DLON * x, 2.5)
+              for t in range(4) for y in range(3) for x in range(3)]
+    sdf = spark.createDataFrame(static, "hour long, lat double, lon double, v double")
+    sgi = getis_ord_gstar(sdf, "v")
+    smk = theil_sen_mk(sgi, ["y_idx", "x_idx"], t_col="hour", y_col="gi_r6")
+    assert all(r.z_mk_r6 == 0.0 and r.s_mk == 0 for r in smk.collect())

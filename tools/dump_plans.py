@@ -205,6 +205,16 @@ NOTES = {
         "hash aggregate — the sessionization two-exchange shape; zone "
         "extraction is Catalyst regexp, no JSON library"
     ),
+    "emerging_hotspots": (
+        "Gi* scatter->gather feeds a WITHIN-cell pair self-join "
+        "(T=48 bounded, never table-sized), tie agg, one max_by agg — "
+        "the category CASE is pure projection"
+    ),
+    "areal_interp": (
+        "ONE lattice scan (codegen CASE PIP + hex encode in the same "
+        "stage), one map-side-combined count on (zone, hex); zone "
+        "totals re-aggregate the tiny matrix; broadcast pop dim"
+    ),
     "bloom_decontam": (
         "Bloom bitset as a literal long array: k AND-ed bit probes in "
         "whole-stage codegen screen every corpus shingle with NO join; "
