@@ -19,6 +19,7 @@ cell_area mitigation for expression-tree rounding differences.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -244,3 +245,74 @@ def getis_ord_gstar(
         "n_i",
         gi.alias("gi_r6"),
     )
+
+
+def ordinary_kriging(
+    obs: DataFrame,
+    targets: DataFrame,
+    value_col: str,
+    k: int = 8,
+    sill: float = 1.0,
+    range_deg: float = 1.5,
+    nugget: float = 0.0,
+    res: int = 5,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Ordinary kriging — the BLUE interpolator the semivariogram
+    feeds (Matheron 1963; the reference leaves it to its users'
+    geostats stack, here a first-class operator).  Exponential
+    covariance C(h) = sill·exp(−h/range) + nugget·1[h=0], FIXED model
+    parameters (fit them from :func:`semivariogram` upstream; fixed
+    params keep the operator deterministic and the test pinnable).
+
+    Per target: the k nearest observations (knn.knn_join — ring-pruned
+    equi-join, no cross join) form the (k+1)×(k+1) ordinary-kriging
+    system [[K, 1], [1ᵀ, 0]]·[w, μ] = [c, 1]; prediction = wᵀy and
+    kriging variance = sill − wᵀc − μ.  The dense solve is NumPy
+    inside ``applyInPandas`` — k+1 ≤ 9 here, model-sized per group;
+    grouping is by target key, so the only shuffles are the kNN
+    equi-join and the solve's group exchange.  NOT SQL-expressible
+    (matrix inverse), so the registry records the weaker rows-only
+    oracle; exactness is pinned by the numpy-twin pytest instead.
+    """
+    import pandas as pd
+
+    from geodata_spark import knn
+
+    nbrs = knn.knn_join(
+        targets.select(lat_col, lon_col),
+        obs.select(lat_col, lon_col, value_col),
+        k=k, res=res, t_lat=lat_col, t_lon=lon_col,
+        s_lat=lat_col, s_lon=lon_col,
+    )
+    schema = (f"{lat_col} double, {lon_col} double, pred_r6 double, "
+              "kvar_r6 double, n_used long")
+    vcol = f"{value_col}_src"
+    slat, slon = f"{lat_col}_src", f"{lon_col}_src"
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("knn_rank")
+        t_lat = float(pdf[lat_col].iloc[0])
+        t_lon = float(pdf[lon_col].iloc[0])
+        xs = pdf[slat].to_numpy(dtype=np.float64)
+        ys = pdf[slon].to_numpy(dtype=np.float64)
+        v = pdf[vcol].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        d = np.sqrt((xs[:, None] - xs[None, :]) ** 2
+                    + (ys[:, None] - ys[None, :]) ** 2)
+        K = sill * np.exp(-d / range_deg) + nugget * np.eye(n)
+        A = np.ones((n + 1, n + 1))
+        A[:n, :n] = K
+        A[n, n] = 0.0
+        dt = np.sqrt((xs - t_lat) ** 2 + (ys - t_lon) ** 2)
+        c = sill * np.exp(-dt / range_deg)
+        w = np.linalg.solve(A, np.append(c, 1.0))
+        pred = float(w[:n] @ v)
+        kvar = float(sill - w[:n] @ c - w[n])
+        return pd.DataFrame(
+            [[t_lat, t_lon, round(pred, 6), round(kvar, 6), n]],
+            columns=[lat_col, lon_col, "pred_r6", "kvar_r6", "n_used"],
+        )
+
+    return nbrs.groupBy(lat_col, lon_col).applyInPandas(solve, schema)

@@ -5420,6 +5420,30 @@ FROM j
 """
 
 
+def q_kriging_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary kriging (geostats.ordinary_kriging): hour-0
+    temperature on the every-2nd-cell sublattice predicts the
+    remaining cells from their 8 nearest observations under a fixed
+    exponential covariance — the BLUE interpolator downstream of
+    `semivariogram`, sibling of `idw_interp`.  kNN via the ring-pruned
+    equi-join; the (k+1)² solve is NumPy in applyInPandas (matrix
+    inverse — NOT SQL-expressible, so this is a documented rows-only
+    oracle; bit-level exactness is pinned by the numpy-twin pytest
+    in tests/test_geostats.py instead)."""
+    from geodata_spark import geostats as GS
+
+    gv = _gv(spark).filter(F.col("hour") == 0).select(
+        "lat", "lon", "temperature",
+        ((F.round((F.col("lat") - F.lit(18.25)) / 0.5) % 2 == 0)
+         & (F.round((F.col("lon") - F.lit(73.3125)) / 0.625) % 2 == 0)
+         ).alias("is_obs"),
+    )
+    obs = gv.filter("is_obs").select("lat", "lon", "temperature")
+    tgts = gv.filter("NOT is_obs").select("lat", "lon")
+    return GS.ordinary_kriging(obs, tgts, "temperature", k=8,
+                               sill=1.0, range_deg=1.5, res=5)
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5622,6 +5646,7 @@ QUERIES = {
     "bloom_decontam": q_bloom_decontam,
     "areal_interp": q_areal_interp,
     "emerging_hotspots": q_emerging_hotspots,
+    "kriging_interp": q_kriging_interp,
 }
 
 ORACLES = {

@@ -725,3 +725,46 @@ def test_emerging_hotspots_planted_trend(spark):
     sgi = getis_ord_gstar(sdf, "v")
     smk = theil_sen_mk(sgi, ["y_idx", "x_idx"], t_col="hour", y_col="gi_r6")
     assert all(r.z_mk_r6 == 0.0 and r.s_mk == 0 for r in smk.collect())
+
+
+def test_ordinary_kriging_numpy_twin(spark):
+    """Kriging vs a full python re-solve on the same kNN neighborhoods:
+    identical predictions/variances, exact interpolation at zero
+    nugget for a target coincident with an observation pattern, and
+    weights that sum to 1 (the ordinary-kriging constraint)."""
+    from geodata_spark.deploy import ensure_py_files
+    from geodata_spark.geostats import ordinary_kriging
+
+    ensure_py_files(spark)
+    rng = np.random.RandomState(5)
+    rows = []
+    for y in range(8):
+        for x in range(8):
+            rows.append((LAT0 + DLAT * y, LON0 + DLON * x,
+                         float(np.round(rng.uniform(0, 8) * 16) / 16)))
+    allc = spark.createDataFrame(rows, "lat double, lon double, v double")
+    obs = allc.filter("CAST(round((lat - 18.25) / 0.5) AS INT) % 2 = 0")
+    tgts = allc.filter("CAST(round((lat - 18.25) / 0.5) AS INT) % 2 = 1") \
+        .select("lat", "lon")
+    sill, rng_deg, k = 1.0, 1.5, 6
+    got = {(r.lat, r.lon): (r.pred_r6, r.kvar_r6, r.n_used)
+           for r in ordinary_kriging(obs, tgts, "v", k=k, sill=sill,
+                                     range_deg=rng_deg, res=5).collect()}
+    opdf = obs.toPandas()
+    O = opdf[["lat", "lon"]].to_numpy()
+    V = opdf.v.to_numpy()
+    for (tla, tlo), (pred, kvar, n_used) in got.items():
+        assert n_used == k
+        d2 = ((O[:, 0] - tla) ** 2 + (O[:, 1] - tlo) ** 2)
+        near = np.argsort(d2, kind="stable")[:k]
+        xs, ys, v = O[near, 0], O[near, 1], V[near]
+        d = np.sqrt((xs[:, None] - xs) ** 2 + (ys[:, None] - ys) ** 2)
+        A = np.ones((k + 1, k + 1))
+        A[:k, :k] = sill * np.exp(-d / rng_deg)
+        A[k, k] = 0.0
+        c = sill * np.exp(-np.sqrt((xs - tla) ** 2 + (ys - tlo) ** 2) / rng_deg)
+        w = np.linalg.solve(A, np.append(c, 1.0))
+        assert abs(w[:k].sum() - 1.0) < 1e-9        # OK constraint
+        assert abs(pred - round(float(w[:k] @ v), 6)) < 2e-6, (tla, tlo)
+        assert abs(kvar - round(float(sill - w[:k] @ c - w[k]), 6)) < 2e-6
+        assert kvar > 0  # away from observations the variance is positive

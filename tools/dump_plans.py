@@ -205,6 +205,11 @@ NOTES = {
         "hash aggregate — the sessionization two-exchange shape; zone "
         "extraction is Catalyst regexp, no JSON library"
     ),
+    "kriging_interp": (
+        "ring-pruned kNN equi-join feeds one applyInPandas group "
+        "exchange keyed by target; each group is k+1<=9 rows, the "
+        "NumPy solve is model-sized — no cross join, no collect"
+    ),
     "emerging_hotspots": (
         "Gi* scatter->gather feeds a WITHIN-cell pair self-join "
         "(T=48 bounded, never table-sized), tie agg, one max_by agg — "
