@@ -800,3 +800,81 @@ def with_hex_columns(df, lat_col: str = "lat", lon_col: str = "lon",
             f"hex7_r{r}", hex7_id_udf(r)(F.col(lat_col), F.col(lon_col))
         )
     return df
+
+
+# ---------------------------------------------------------------------------
+# cover compression: compact / uncompact (H3 compactCells semantics)
+# ---------------------------------------------------------------------------
+
+def hex7_res_np(cell: np.ndarray) -> np.ndarray:
+    """Resolution field of each id (bits 60-57)."""
+    return (np.asarray(cell, dtype=np.int64) >> np.int64(57)) & np.int64(0xF)
+
+
+def hex7_children_np(cell: np.ndarray) -> np.ndarray:
+    """One-level digit children: (n, 7) ids at res+1 (digits 0..6).
+    Purely combinatorial on the digit hierarchy — the inverse of
+    :func:`hex7_parent_np` one level up: parent(children(c)) == c and
+    the 7 children are distinct by construction."""
+    cell = np.asarray(cell, dtype=np.int64)
+    r = (cell >> np.int64(57)) & np.int64(0xF)
+    if len(cell) and int(r.max()) >= 15:
+        raise ValueError("children beyond res 15")
+    nr = r + 1
+    shift = (np.int64(45) - 3 * nr).astype(np.int64)
+    base = (cell & ~(np.int64(0xF) << np.int64(57))) | (nr << np.int64(57))
+    base = base & ~(np.int64(0x7) << shift)  # clear the 7 placeholder
+    return np.stack(
+        [base | (np.int64(d) << shift) for d in range(7)], axis=1
+    )
+
+
+def hex7_compact_np(cells: np.ndarray) -> np.ndarray:
+    """Compact a cell set: recursively replace every COMPLETE set of 7
+    digit-siblings by their parent (H3 ``compactCells``).  Input may
+    be mixed-resolution; output covers exactly the same leaf set
+    (``hex7_uncompact_np`` round-trips it) with no sibling-complete
+    parent left unmerged — the minimal digit-aligned cover.
+
+    Why it matters at scale: a polyfill cover of a large zone is
+    dominated by interior cells whose parents are fully inside;
+    compacting the broadcast cover shrinks it ~7× per level of
+    interior depth, and membership tests join against ancestors at
+    EVERY resolution present (cheap: one parent projection per res).
+    Driver-side, model-sized — covers broadcast by contract."""
+    cur = np.unique(np.asarray(cells, dtype=np.int64))
+    done: list[np.ndarray] = []
+    while len(cur):
+        res = hex7_res_np(cur)
+        maxr = int(res.max())
+        if maxr == 0:
+            done.append(cur)
+            break
+        hi = cur[res == maxr]
+        rest = cur[res != maxr]
+        par = hex7_parent_np(hi, maxr, maxr - 1)
+        ps, inv, cnt = np.unique(par, return_inverse=True,
+                                 return_counts=True)
+        complete = cnt == 7  # 7 distinct ids sharing a parent == all digits
+        done.append(hi[~complete[inv]])
+        cur = np.unique(np.concatenate([rest, ps[complete]]))
+    return np.sort(np.concatenate(done)) if done else cur
+
+
+def hex7_uncompact_np(cells: np.ndarray, res: int) -> np.ndarray:
+    """Expand a (possibly compacted, mixed-res) set to its full
+    descendant set at ``res`` — inverse of :func:`hex7_compact_np`."""
+    cells = np.asarray(cells, dtype=np.int64)
+    if len(cells) and int(hex7_res_np(cells).max()) > res:
+        raise ValueError("uncompact target res above a member's res")
+    out = []
+    cur = cells
+    while len(cur):
+        r = hex7_res_np(cur)
+        at = cur[r == res]
+        if len(at):
+            out.append(at)
+        below = cur[r < res]
+        cur = hex7_children_np(below).ravel() if len(below) else below
+    return np.sort(np.unique(np.concatenate(out))) if out \
+        else np.empty(0, dtype=np.int64)

@@ -410,3 +410,38 @@ def test_hex_knn_disk_candidate_volume_pinned():
     assert d.shape == (3, 19)
     for row in d:
         assert len(np.unique(row)) == 19
+
+
+def test_compact_uncompact_roundtrip_and_compression():
+    """compact/uncompact are exact inverses on polyfill covers; a big
+    rectangle's full-cell cover compresses (interior parents merge);
+    children/parent are one-level inverses with 7 distinct children."""
+    big = [np.array([(80.0, 22.0), (130.0, 22.0), (130.0, 50.0), (80.0, 50.0)])]
+    full, _ = H.hex7_polyfill(big, 5)
+    full = np.unique(full)
+    comp = H.hex7_compact_np(full)
+    assert len(comp) < len(full)  # interior res-4 parents merged
+    assert set(H.hex7_res_np(comp).tolist()) >= {4, 5}
+    back = H.hex7_uncompact_np(comp, 5)
+    assert np.array_equal(back, np.sort(full))
+    # no sibling-complete parent survives in the compacted set
+    for r in sorted(set(H.hex7_res_np(comp).tolist()), reverse=True):
+        at = comp[H.hex7_res_np(comp) == r]
+        if r == 0:
+            continue
+        par = H.hex7_parent_np(at, r, r - 1)
+        _, cnt = np.unique(par, return_counts=True)
+        assert cnt.max() < 7
+    # children/parent inverse, 7 distinct children (single-res subset:
+    # hex7_parent_np takes a scalar res)
+    at5 = comp[H.hex7_res_np(comp) == 5][:50]
+    ch = H.hex7_children_np(at5)
+    assert ch.shape == (len(at5), 7)
+    assert all(len(set(row.tolist())) == 7 for row in ch)
+    for d in range(7):
+        assert np.array_equal(H.hex7_parent_np(ch[:, d], 6, 5), at5)
+    # idempotence + empty/degenerate sets
+    assert np.array_equal(H.hex7_compact_np(comp), comp)
+    one = full[:1]
+    assert np.array_equal(H.hex7_compact_np(one), np.sort(one))
+    assert np.array_equal(H.hex7_uncompact_np(one, 5), np.sort(one))
