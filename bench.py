@@ -484,14 +484,35 @@ def ann_crossover(spark, k: int = 10, n_queries: int = 256) -> dict:
         entry["lsh_recall"] = recall(lsh)
 
         # PQ/ADC at a production-ish shape (m=8, ksub=32): build =
-        # per-subspace Lloyd training + materializing the code table
-        # (the one-time 32x-compressed index); probe = LUT scoring
-        # over the codes — m lookups + adds per row, zero multiplies.
-        pq_path = os.path.join(CACHE, f"pq_codes_{n}_x{int(noise * 100)}")
+        # L2-normalize + per-subspace Lloyd training + materializing
+        # the code table (the one-time 32x-compressed index); probe =
+        # LUT scoring over the codes — m lookups + adds per row, zero
+        # multiplies.  Normalization makes the ADC dot product rank
+        # like the cosine ground truth (unnormalized, refine recall
+        # plateaus at ~0.42 no matter the shortlist — dot and cosine
+        # disagree on the true top-k itself, not a quantization issue).
+        nrm_path = os.path.join(CACHE, f"embeddings_n_{n}_x{int(noise * 100)}")
+        if not os.path.exists(os.path.join(nrm_path, "_SUCCESS")):
+            nrm = F.sqrt(F.aggregate(
+                F.transform("embedding",
+                            lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda a, x: a + x))
+            vecs.select(
+                "vec_id",
+                F.transform("embedding",
+                            lambda x: x.cast("double") / nrm)
+                .alias("embedding"),
+            ).write.mode("overwrite").parquet(nrm_path)
+        nvecs = spark.read.parquet(nrm_path)
+        nqueries = nvecs.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        pq_path = os.path.join(CACHE, f"pq_ncodes_{n}_x{int(noise * 100)}")
         pq_meta = pq_path + ".books.json"
         if not os.path.exists(pq_meta):
             t0 = time.perf_counter()
-            codes_pq, books_pq = SIM.pq_train_encode(vecs, m=8, ksub=32,
+            codes_pq, books_pq = SIM.pq_train_encode(nvecs, m=8, ksub=32,
                                                      iters=2)
             codes_pq.write.mode("overwrite").parquet(pq_path)
             with open(pq_meta, "w") as fh:
@@ -501,17 +522,19 @@ def ann_crossover(spark, k: int = 10, n_queries: int = 256) -> dict:
             pq_saved = json.load(fh)
         entry["pq_build_sec"] = pq_saved["build_sec"]
         cached_codes = spark.read.parquet(pq_path)
-        pq = SIM.pq_topk(cached_codes, pq_saved["books"], queries, k=k)
+        pq = SIM.pq_topk(cached_codes, pq_saved["books"], nqueries, k=k)
         entry["pq_sec"] = best_of(pq)
         entry["pq_recall"] = recall(pq)
-        # PQ + exact re-rank (FAISS refine shape): ADC shortlist of 1%
-        # of the corpus (min 100), then an id-keyed exact re-rank of
+        # PQ + exact re-rank (FAISS refine shape): ADC shortlist of 2%
+        # of the corpus (min 200), then an id-keyed exact re-rank of
         # nq*shortlist vectors — the deployment shape where recall
         # comes back without rescanning; shortlist ∝ n keeps the
-        # re-ranked fraction constant as the corpus grows
-        shortlist = max(100, n // 100)
+        # re-ranked fraction constant as the corpus grows.  Raw ADC
+        # recall stays low at 8 B/vector by design: compressed PQ is
+        # the SHORTLIST GENERATOR, the refine pass is the ranker.
+        shortlist = max(200, n // 50)
         pq_ref = SIM.pq_topk_refined(
-            cached_codes, pq_saved["books"], vecs, queries,
+            cached_codes, pq_saved["books"], nvecs, nqueries,
             k=k, shortlist=shortlist)
         entry["pq_shortlist"] = shortlist
         entry["pq_refine_sec"] = best_of(pq_ref)

@@ -604,8 +604,17 @@ def pq_topk(
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("adc_r6").desc(), F.col("vec_id").asc()
     )
+    # the code table is tiny BY DESIGN (that is the compression), so
+    # maxPartitionBytes gives its scan ~1 split — but the broadcast
+    # fan-out below multiplies rows by nq, and the per-partition sort
+    # feeding WindowGroupLimit would run serially (measured 75s vs 20s
+    # for brute at 25.6M fan-out rows).  Repartition the (tiny) codes
+    # to the session's parallelism first: partition count must be
+    # sized for the OUTPUT of the fan-out, which the scan cannot know.
+    par = codes.sparkSession.sparkContext.defaultParallelism
     return (
-        codes.join(F.broadcast(luts))
+        codes.repartition(par)
+        .join(F.broadcast(luts))
         .filter(F.col("id") != F.col(q_id_col))
         .select(q_id_col, F.col("id").alias("vec_id"), score.alias("adc_r6"))
         .withColumn("rank", F.row_number().over(w))
