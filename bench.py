@@ -539,6 +539,23 @@ def ann_crossover(spark, k: int = 10, n_queries: int = 256) -> dict:
         entry["pq_shortlist"] = shortlist
         entry["pq_refine_sec"] = best_of(pq_ref)
         entry["pq_refine_recall"] = recall(pq_ref)
+        # IVF·PQ·refine — both indexes composed (probe cells, ADC-score
+        # only inside them, exact re-rank the shortlist): the full
+        # production shape where a query reads n_probe/n_cells of the
+        # partitions AND 8-byte codes instead of raw vectors
+        nassign_path = os.path.join(
+            CACHE, f"ivf_nindex_{n}_{n_cells}_x{int(noise * 100)}")
+        if not os.path.exists(os.path.join(nassign_path, "_SUCCESS")):
+            SIM.ivf_assign(nvecs, SIM.ivf_centroids(nvecs, n_cells)) \
+                .write.mode("overwrite").partitionBy("cell") \
+                .parquet(nassign_path)
+        ncents = SIM.ivf_centroids(nvecs, n_cells)
+        nassigned = spark.read.parquet(nassign_path)
+        ivfpq = SIM.ivfpq_topk(
+            nassigned, cached_codes, pq_saved["books"], ncents, nvecs,
+            nqueries, n_probe=16, k=k, shortlist=shortlist)
+        entry["ivfpq_sec"] = best_of(ivfpq)
+        entry["ivfpq_recall"] = recall(ivfpq)
         report["sizes"][str(n)] = entry
 
     # crossover verdict: smallest size where an IVF variant with

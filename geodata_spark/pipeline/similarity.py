@@ -670,6 +670,109 @@ def pq_topk_refined(
     )
 
 
+def ivfpq_topk(
+    v_assigned: DataFrame,
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    cents: DataFrame,
+    vecs: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 8,
+    k: int = 10,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF·PQ·refine — the full FAISS ``IVFPQ + RefineFlat`` production
+    composition: probe each query's ``n_probe`` nearest IVF cells,
+    ADC-score ONLY the PQ codes inside those cells (per-query LUT, m
+    lookups/row), shortlist, then exact re-rank the shortlist against
+    the raw vectors.  At 100 TB: the corpus is partitioned by cell, a
+    query touches n_probe/n_cells of the partitions, reads 8-byte
+    codes instead of raw vectors inside them, and full-precision I/O
+    is shortlist·nq rows — three multiplicative reductions, each one
+    an equi-join in the plan.
+
+    Inputs are the two independently-built indexes (``ivf_assign``'s
+    (id, cell) table and :func:`pq_train_encode`'s (id, codes) table)
+    plus the raw vector store for the refine pass."""
+    qa = queries.join(F.broadcast(cents))
+    sim_qc = F.round(cosine(F.col(q_vec_col), F.col("cent")), 9).alias("s")
+    wq = Window.partitionBy(q_id_col).orderBy(
+        F.col("s").desc(), F.col("cell").asc()
+    )
+    q_probes = (
+        qa.select(q_id_col, q_vec_col, "cell", sim_qc)
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select(q_id_col, "cell")
+    )
+    cell_codes = v_assigned.select(
+        F.col(id_col).alias("id"), "cell"
+    ).join(codes, "id")
+
+    m = len(books)
+    ksub = len(books[0])
+    dsub = len(books[0][0])
+    spark = codes.sparkSession
+
+    def seq_dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    lut_rows = []
+    for r in queries.select(q_id_col, q_vec_col).collect():
+        qv = [float(x) for x in r[1]]
+        lut_rows.append((r[0], [
+            round(seq_dot(qv[j * dsub:(j + 1) * dsub], cent), 6)
+            for j in range(m) for cent in books[j]
+        ]))
+    luts = spark.createDataFrame(
+        lut_rows, f"{q_id_col} long, _lut array<double>"
+    )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            "_lut", F.col("codes").getItem(j) + F.lit(j * ksub + 1)
+        )
+        score = term if score is None else score + term
+    par = codes.sparkSession.sparkContext.defaultParallelism
+    w_short = Window.partitionBy(q_id_col).orderBy(
+        F.col("adc").desc(), F.col("vec_id").asc()
+    )
+    # stream the code table, broadcast the (query, probed-cell, LUT)
+    # side — nq·n_probe rows of m·ksub doubles, model-sized
+    short = (
+        cell_codes.repartition(par, "cell")
+        .join(F.broadcast(q_probes.join(F.broadcast(luts), q_id_col)),
+              "cell")
+        .filter(F.col("id") != F.col(q_id_col))
+        .select(q_id_col, F.col("id").alias("vec_id"), score.alias("adc"))
+        .withColumn("r", F.row_number().over(w_short))
+        .filter(F.col("r") <= shortlist)
+        .select(q_id_col, "vec_id")
+    )
+    qv = queries.select(q_id_col, q_vec_col)
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine_r6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        short.join(vecs.select(F.col(id_col).alias("vec_id"), vec_col),
+                   "vec_id")
+        .join(F.broadcast(qv), q_id_col)
+        .select(q_id_col, "vec_id",
+                F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6)
+                .alias("cosine_r6"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", "vec_id", "cosine_r6")
+    )
+
+
 def pq_topk_sql(
     m: int = 4,
     ksub: int = 4,

@@ -917,3 +917,36 @@ def test_bloom_contamination_screen_python_twin(spark, docs):
         else:
             assert did not in got
     assert saw_fp_shingle  # the small filter really exercised FPs
+
+
+def test_ivfpq_topk_composition(spark, vecs):
+    """IVF·PQ·refine: structure (k rows per query, rank 1..k, no
+    self-match), the refine scores are EXACT cosines (match brute
+    force on the same ids), and with a full probe + generous
+    shortlist the composition reproduces brute force exactly."""
+    dim = len(vecs.select("embedding").first()[0])
+    n_cells, k = 4, 5
+    cents = SIM.ivf_centroids(vecs, n_cells)
+    assigned = SIM.ivf_assign(vecs, cents)
+    codes, books = SIM.pq_train_encode(vecs, m=4, ksub=4, iters=2)
+    queries = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    n = vecs.count()
+    out = SIM.ivfpq_topk(assigned, codes, books, cents, vecs, queries,
+                         n_probe=n_cells, k=k, shortlist=n).toPandas()
+    assert (out.groupby("query_id").size() == k).all()
+    assert (out.query_id != out.vec_id).all()
+    brute = SIM.brute_force_topk(vecs, queries, k=k).toPandas()
+    for q in range(4):
+        got = out[out.query_id == q].sort_values("rank")
+        want = brute[brute.query_id == q].sort_values("rank")
+        # full probe + full shortlist == exact brute force
+        assert list(got.vec_id) == list(want.vec_id), q
+        np.testing.assert_allclose(got.cosine_r6.to_numpy(),
+                                   want.cosine_r6.to_numpy(), atol=0)
+    # restricted probe still returns k structurally-valid rows
+    part = SIM.ivfpq_topk(assigned, codes, books, cents, vecs, queries,
+                          n_probe=2, k=k, shortlist=20).toPandas()
+    assert (part.groupby("query_id").size() == k).all()
