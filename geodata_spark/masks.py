@@ -556,3 +556,86 @@ def focal_mean_3x3(layer: DataFrame, value_col: str = "value") -> DataFrame:
         .withColumn("focal_n", F.col("_ns").cast("long"))
         .drop("_ty", "_tx", "_vs", "_ns")
     )
+
+
+def focal_majority_3x3(layer: DataFrame, value_col: str = "value") -> DataFrame:
+    """3×3 focal MAJORITY (mode) of a categorical raster — the
+    classification-smoothing sibling of :func:`focal_mean_3x3`
+    (majority filter over land-use classes; the reference's users run
+    it via scipy.ndimage before building class masks).
+
+    Same hole-correct scatter→gather shape, plus one per-class count:
+    scatter each cell's class to its 9 covering positions, count per
+    (position, class) with map-side combine, then a SECOND tiny agg
+    picks the winner per position via max(struct(count, −class)) —
+    most frequent wins, smallest class id breaks ties (a TOTAL order,
+    the knn tie-break discipline).  Join back on the agg's own key
+    keeps only real cells.  All integers — bit-exact cross-engine.
+
+    Output adds ``majority`` (winning class), ``maj_n`` (its count)
+    and ``focal_n`` (neighborhood size present, 4..9).
+    """
+    offs = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ])
+    scattered = (
+        layer.select("y_idx", "x_idx", F.col(value_col).alias("_v"))
+        .withColumn("_o", F.explode(offs))
+        .select(
+            (F.col("y_idx") + F.col("_o.dy")).alias("_ty"),
+            (F.col("x_idx") + F.col("_o.dx")).alias("_tx"),
+            "_v",
+        )
+    )
+    counts = scattered.groupBy("_ty", "_tx", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    best = counts.groupBy("_ty", "_tx").agg(
+        F.max(F.struct(F.col("_c").alias("c"),
+                       (-F.col("_v")).alias("negv"))).alias("_b"),
+        F.sum("_c").cast("long").alias("focal_n"),
+    )
+    return (
+        layer.join(
+            best,
+            (F.col("y_idx") == F.col("_ty")) & (F.col("x_idx") == F.col("_tx")),
+        )
+        .withColumn("majority", -F.col("_b.negv"))
+        .withColumn("maj_n", F.col("_b.c").cast("long"))
+        .drop("_ty", "_tx", "_b")
+    )
+
+
+def laplacian_finite_diff(layer: DataFrame, value_col: str = "value") -> DataFrame:
+    """Discrete Laplacian (∇²z, curvature) of a raster layer — the
+    second-derivative companion of :func:`slope_finite_diff` (terrain
+    convexity / concavity: ridges < 0 < sinks; per-cell-index units,
+    multiply by 1/edge² for physical units).
+
+    Same two-analytic-window shape: per axis, d² = z₋₁ − 2z + z₊₁
+    with the adjacency GUARD (both neighbors exactly 1 index away), so
+    holes yield NULL instead of differencing across the gap.  Pure
+    add/subtract — dyadic-exact, no rounding anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    def d2(part_col: str, ord_col: str):
+        w = Window.partitionBy(part_col).orderBy(ord_col)
+        ok = (
+            (F.col(ord_col) - F.lag(ord_col).over(w) == 1)
+            & (F.lead(ord_col).over(w) - F.col(ord_col) == 1)
+        )
+        return F.when(
+            ok,
+            F.lag(value_col).over(w) - 2.0 * F.col(value_col)
+            + F.lead(value_col).over(w),
+        )
+
+    out = layer.withColumn("d2zdx2", d2("y_idx", "x_idx")).withColumn(
+        "d2zdy2", d2("x_idx", "y_idx")
+    )
+    return out.withColumn(
+        "laplacian", F.col("d2zdx2") + F.col("d2zdy2")
+    )

@@ -5444,6 +5444,107 @@ def q_kriging_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                sill=1.0, range_deg=1.5, res=5)
 
 
+def q_focal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 majority (mode) filter of the MODIS land-use raster
+    (masks.focal_majority_3x3): classification smoothing — scatter →
+    per-(position, class) count → winner via max(struct(count,
+    −class)) (total order: most frequent, then smallest class).  All
+    integers ⇒ bit-exact oracle."""
+    from geodata_spark import masks
+    from geodata_spark.synth import synth_mask_layers
+
+    modis = synth_mask_layers(spark).filter(F.col("layer") == "modis")
+    out = masks.focal_majority_3x3(modis)
+    return out.select(
+        F.col("y_idx").cast("long").alias("y_idx"),
+        F.col("x_idx").cast("long").alias("x_idx"),
+        "value", "majority", "maj_n", "focal_n",
+    )
+
+
+def _focal_majority_sql() -> str:
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+    return f"""
+WITH {mask_layers_sql_cte()},
+modis AS (
+  SELECT CAST(round((lat - {LAT0!r}) / {DLAT!r}) AS BIGINT) AS y_idx,
+         CAST(round((lon - {LON0!r}) / {DLON!r}) AS BIGINT) AS x_idx,
+         value
+  FROM maskl WHERE layer = 'modis'
+),
+scattered AS (
+  SELECT m.y_idx + o.dy AS ty, m.x_idx + o.dx AS tx, m.value AS v
+  FROM modis m,
+       (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+         o(dy, dx)
+),
+counts AS (
+  SELECT ty, tx, v, CAST(count(*) AS BIGINT) AS c
+  FROM scattered GROUP BY ty, tx, v
+),
+best AS (
+  SELECT ty, tx,
+         max(struct_pack(c := c, negv := -v)) AS b,
+         CAST(sum(c) AS BIGINT) AS focal_n
+  FROM counts GROUP BY ty, tx
+)
+SELECT m.y_idx, m.x_idx, m.value,
+       -(b.b).negv AS majority, (b.b).c AS maj_n, b.focal_n
+FROM modis m JOIN best b ON m.y_idx = b.ty AND m.x_idx = b.tx
+"""
+
+
+def q_terrain_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Laplacian of the elevation raster
+    (masks.laplacian_finite_diff): per-axis z₋₁ − 2z + z₊₁ via two
+    adjacency-guarded analytic windows — pure add/subtract, dyadic ⇒
+    NO rounding anywhere.  Interior cells only (both axes defined)."""
+    from geodata_spark import masks
+    from geodata_spark.synth import synth_mask_layers
+
+    elev = synth_mask_layers(spark).filter(F.col("layer") == "elevation")
+    out = masks.laplacian_finite_diff(elev)
+    return out.filter(
+        F.col("d2zdx2").isNotNull() & F.col("d2zdy2").isNotNull()
+    ).select(
+        F.col("y_idx").cast("long").alias("y_idx"),
+        F.col("x_idx").cast("long").alias("x_idx"),
+        "value", "d2zdx2", "d2zdy2", "laplacian",
+    )
+
+
+def _terrain_curvature_sql() -> str:
+    from geodata_spark.synth import DLAT, DLON, LAT0, LON0
+
+    return f"""
+WITH {mask_layers_sql_cte()},
+elev AS (
+  SELECT CAST(round((lat - {LAT0!r}) / {DLAT!r}) AS BIGINT) AS y_idx,
+         CAST(round((lon - {LON0!r}) / {DLON!r}) AS BIGINT) AS x_idx,
+         value
+  FROM maskl WHERE layer = 'elevation'
+),
+d AS (
+  SELECT y_idx, x_idx, value,
+         CASE WHEN x_idx - lag(x_idx) OVER wx = 1
+                   AND lead(x_idx) OVER wx - x_idx = 1
+              THEN lag(value) OVER wx - 2.0 * value + lead(value) OVER wx
+         END AS d2zdx2,
+         CASE WHEN y_idx - lag(y_idx) OVER wy = 1
+                   AND lead(y_idx) OVER wy - y_idx = 1
+              THEN lag(value) OVER wy - 2.0 * value + lead(value) OVER wy
+         END AS d2zdy2
+  FROM elev
+  WINDOW wx AS (PARTITION BY y_idx ORDER BY x_idx),
+         wy AS (PARTITION BY x_idx ORDER BY y_idx)
+)
+SELECT y_idx, x_idx, value, d2zdx2, d2zdy2,
+       d2zdx2 + d2zdy2 AS laplacian
+FROM d WHERE d2zdx2 IS NOT NULL AND d2zdy2 IS NOT NULL
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5647,6 +5748,8 @@ QUERIES = {
     "areal_interp": q_areal_interp,
     "emerging_hotspots": q_emerging_hotspots,
     "kriging_interp": q_kriging_interp,
+    "focal_majority": q_focal_majority,
+    "terrain_curvature": q_terrain_curvature,
 }
 
 ORACLES = {
@@ -5797,4 +5900,6 @@ ORACLES = {
     "bloom_decontam": DD.bloom_contamination_sql(m_bits=16384, k_hashes=3),
     "areal_interp": _areal_interp_sql(),
     "emerging_hotspots": _EMERGING_SQL,
+    "focal_majority": _focal_majority_sql(),
+    "terrain_curvature": _terrain_curvature_sql(),
 }

@@ -343,3 +343,62 @@ def test_hillshade_range_and_orientation(spark):
     assert all(0.0 <= h <= 1.0 for h in out)
     assert out[2] == round(math.cos(math.radians(45.0)), 6)   # flat
     assert out[0] > out[2] > out[1]    # sun side > flat > shade side
+
+
+def test_focal_majority_3x3_matches_python(spark):
+    """Majority filter vs brute-force python: most-frequent class per
+    3x3 neighborhood, smallest-class tie-break, edge/hole
+    renormalization."""
+    from collections import Counter
+
+    from geodata_spark.masks import focal_majority_3x3
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(1, 5, size=(5, 6)).astype(float)
+    hole = (1, 4)
+    rows = [(y, x, float(arr[y, x]))
+            for y in range(5) for x in range(6) if (y, x) != hole]
+    df = spark.createDataFrame(rows, "y_idx long, x_idx long, value double")
+    out = {(r.y_idx, r.x_idx): r for r in focal_majority_3x3(df).collect()}
+    assert len(out) == 5 * 6 - 1
+    for (y, x), r in out.items():
+        vals = [arr[yy, xx]
+                for yy in range(max(0, y - 1), min(5, y + 2))
+                for xx in range(max(0, x - 1), min(6, x + 2))
+                if (yy, xx) != hole]
+        cnt = Counter(vals)
+        top = max(cnt.values())
+        want = min(v for v, c in cnt.items() if c == top)  # tie -> smallest
+        assert r.majority == want, (y, x)
+        assert r.maj_n == top and r.focal_n == len(vals), (y, x)
+
+
+def test_laplacian_matches_numpy(spark):
+    """Laplacian vs numpy second differences; adjacency guard NULLs
+    derivatives across holes and at edges."""
+    from geodata_spark.masks import laplacian_finite_diff
+
+    rng = np.random.RandomState(4)
+    arr = np.round(rng.uniform(0, 50, size=(5, 6)) * 16) / 16
+    hole = (2, 2)
+    rows = [(y, x, float(arr[y, x]))
+            for y in range(5) for x in range(6) if (y, x) != hole]
+    df = spark.createDataFrame(rows, "y_idx long, x_idx long, value double")
+    out = {(r.y_idx, r.x_idx): r for r in laplacian_finite_diff(df).collect()}
+    for (y, x), r in out.items():
+        if 1 <= x <= 4 and (y, x - 1) != hole and (y, x + 1) != hole:
+            assert r.d2zdx2 == arr[y, x - 1] - 2 * arr[y, x] + arr[y, x + 1]
+        else:
+            assert r.d2zdx2 is None, (y, x)
+        if 1 <= y <= 3 and (y - 1, x) != hole and (y + 1, x) != hole:
+            assert r.d2zdy2 == arr[y - 1, x] - 2 * arr[y, x] + arr[y + 1, x]
+        else:
+            assert r.d2zdy2 is None, (y, x)
+        if r.d2zdx2 is not None and r.d2zdy2 is not None:
+            assert r.laplacian == r.d2zdx2 + r.d2zdy2
+    # a quadratic bowl z = (y^2 + x^2)/2 has laplacian exactly 2
+    bowl = [(y, x, (y * y + x * x) / 2.0) for y in range(5) for x in range(5)]
+    bdf = spark.createDataFrame(bowl, "y_idx long, x_idx long, value double")
+    for r in laplacian_finite_diff(bdf).collect():
+        if r.laplacian is not None:
+            assert r.laplacian == 2.0

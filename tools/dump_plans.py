@@ -205,6 +205,17 @@ NOTES = {
         "hash aggregate — the sessionization two-exchange shape; zone "
         "extraction is Catalyst regexp, no JSON library"
     ),
+    "focal_majority": (
+        "scatter->gather with a per-class count: 9x Generate explode, "
+        "TWO map-side-combined aggs (position,class then position), "
+        "winner via max(struct(count,-class)) in the agg itself — no "
+        "window, no rank shuffle"
+    ),
+    "terrain_curvature": (
+        "two adjacency-guarded analytic windows (one per axis) — the "
+        "slope_finite_diff shape; pure add/subtract in codegen, zero "
+        "joins, zero explodes"
+    ),
     "kriging_interp": (
         "ring-pruned kNN equi-join feeds one applyInPandas group "
         "exchange keyed by target; each group is k+1<=9 rows, the "
