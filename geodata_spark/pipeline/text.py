@@ -524,3 +524,100 @@ SELECT {id_col},
 FROM toks JOIN vocab USING (term), tot
 GROUP BY {id_col}
 """
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability with add-α smoothing
+    under the corpus's own bigram LM — one context order up from
+    :func:`unigram_logprob`, the next step toward the CCNet KenLM
+    filter and a sharper gibberish detector (word salad with a
+    plausible unigram mix still scores low here).
+
+    p(w₂|w₁) = (C(w₁w₂) + α) / (C(w₁·) + α·V) with C(w₁·) the count
+    of w₁ as a bigram HISTORY (derived by re-aggregating the bigram
+    counts — no extra corpus pass) and V the corpus vocabulary size
+    (one scalar).  Smoothing keeps the estimator total even though
+    the model is corpus-derived (α = 0.5, dyadic).
+
+    Plan: ONE bigram explode (adjacent-token zip, no window), counts
+    with map-side combine, the per-doc score join keyed on the bigram
+    (the tf-idf shuffle shape — bigram vocab can be huge at 100 TB, so
+    it is NEVER broadcast), history counts broadcast (unigram-sized).
+    ln is libm ⇒ 6-dp rounding, the cell_area mitigation; the smoothed
+    ratio's inputs are exact integers, so both engines round the same
+    double.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_t")
+    )
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+            )
+        ).alias("_p"),
+    ).select(
+        id_col,
+        F.col("_p").getField("0").alias("w1"),
+        F.col("_p").getField("1").alias("w2"),
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_n = (
+        base.select(F.explode("_t").alias("t")).select("t").distinct().count()
+    )
+    lnp = F.log(
+        (F.col("c12").cast("double") + F.lit(alpha))
+        / (F.col("c1").cast("double") + F.lit(alpha * float(vocab_n)))
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(broadcast(hist), "w1")
+        .select(id_col, lnp.alias("lnp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("lnp") / F.count(F.lit(1)), 6).alias("avg_ln_p2"),
+    )
+
+
+def bigram_logprob_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents",
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob` (same α, same rounding)."""
+    return f"""
+WITH tl AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+pairs AS (
+  SELECT {id_col}, t[i] AS w1, t[i + 1] AS w2
+  FROM tl, unnest(range(1, greatest(len(t), 1))) AS g(i)
+),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+hist AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY w1),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vn
+  FROM (SELECT unnest(t) AS tok FROM tl)
+)
+SELECT p.{id_col},
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln((CAST(c12 AS DOUBLE) + {alpha!r})
+                    / (CAST(c1 AS DOUBLE) + {alpha!r} * vn))) / count(*), 6)
+         AS avg_ln_p2
+FROM pairs p JOIN bi USING (w1, w2) JOIN hist USING (w1), v
+GROUP BY p.{id_col}
+"""

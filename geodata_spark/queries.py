@@ -3621,6 +3621,16 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-prob with add-0.5 smoothing under the
+    corpus's own bigram LM (pipeline.text.bigram_logprob) — one
+    context order up from `unigram_logprob`; word salad with a
+    plausible unigram mix scores low here.  Bigram join keyed on the
+    pair (never broadcast — bigram vocab is huge at 100 TB), history
+    counts broadcast."""
+    return TX.bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_geo_radius_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic range query — every corpus geo span within 150 km
     great-circle distance of each target (knn.radius_join_gc:
@@ -5750,6 +5760,7 @@ QUERIES = {
     "kriging_interp": q_kriging_interp,
     "focal_majority": q_focal_majority,
     "terrain_curvature": q_terrain_curvature,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 ORACLES = {
@@ -5902,4 +5913,5 @@ ORACLES = {
     "emerging_hotspots": _EMERGING_SQL,
     "focal_majority": _focal_majority_sql(),
     "terrain_curvature": _terrain_curvature_sql(),
+    "bigram_logprob": TX.bigram_logprob_sql(),
 }

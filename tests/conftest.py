@@ -14,9 +14,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    from geodata_spark.deploy import ensure_py_files
     from geodata_spark.session import get_spark
 
     s = get_spark("geodata_spark_tests", master="local[8]", shuffle_partitions=8)
+    # ship the package zip so Python-UDF tests pass from ANY CWD (the
+    # driver-contract discipline: repo CWD must never be load-bearing)
+    ensure_py_files(s)
     yield s
 
 

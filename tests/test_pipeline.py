@@ -950,3 +950,37 @@ def test_ivfpq_topk_composition(spark, vecs):
     part = SIM.ivfpq_topk(assigned, codes, books, cents, vecs, queries,
                           n_probe=2, k=k, shortlist=20).toPandas()
     assert (part.groupby("query_id").size() == k).all()
+
+
+def test_bigram_logprob_python_twin(spark):
+    """Bigram LM score vs a python recompute (same add-0.5 smoothing,
+    history = bigram-start counts), and the semantic point: a doc
+    reusing the corpus's common bigram outscores a shuffled word
+    salad with the identical unigram profile."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat again"),
+        (3, "mat the on sat cat the"),   # same unigrams as doc 1, shuffled
+        (4, "zebra"),                     # no bigrams -> no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TX.bigram_logprob(df).collect()}
+    assert 4 not in got
+
+    docs = {i: t.split() for i, t, in rows}
+    pairs = [(w1, w2) for t in docs.values() for w1, w2 in zip(t, t[1:])]
+    bi = Counter(pairs)
+    hist = Counter(w1 for w1, _ in pairs)
+    vocab = len({w for t in docs.values() for w in t})
+    for i, t in docs.items():
+        ps = list(zip(t, t[1:]))
+        if not ps:
+            continue
+        s = sum(math.log((bi[p] + 0.5) / (hist[p[0]] + 0.5 * vocab))
+                for p in ps)
+        assert got[i].n_bigrams == len(ps)
+        assert abs(got[i].avg_ln_p2 - round(s / len(ps), 6)) < 2e-6, i
+    assert got[1].avg_ln_p2 > got[3].avg_ln_p2  # salad scores lower

@@ -83,9 +83,11 @@ def test_documented_pending_keys_exist():
 
 
 # Queries with intentionally NO SQL oracle (non-SQL-expressible; the
-# driver records the weaker rows-only check).  Empty since round 6:
-# hex_rollup gained the hash-pinned hex5 dimension-fixture oracle.
-ROWS_ONLY: set[str] = set()
+# driver records the weaker rows-only check).  kriging_interp's
+# ordinary-kriging solve is a matrix inverse — DuckDB cannot express
+# it; exactness is pinned by the numpy-twin pytest in
+# tests/test_geostats.py instead (documented in COVERAGE.md).
+ROWS_ONLY: set[str] = {"kriging_interp"}
 
 
 def test_every_query_is_oracle_paired():

@@ -17,8 +17,12 @@ def test_raster_roundtrip(spark):
     assert r.lat == 11.0 and abs(r.lon - 21.875) < 1e-12
 
 
-def test_geotiff_gated(spark):
-    with pytest.raises(NotImplementedError):
+def test_geotiff_ungated(spark):
+    # round 7 un-gated the S7 scan (in-repo pure-Python reader,
+    # geotiff.py): a missing file is now an ordinary IO error, not a
+    # NotImplementedError gate; the real read path is pinned by
+    # tests/test_geotiff_format.py
+    with pytest.raises(FileNotFoundError):
         sources.read_geotiff(spark, "/nonexistent.tif")
 
 

@@ -205,6 +205,11 @@ NOTES = {
         "hash aggregate — the sessionization two-exchange shape; zone "
         "extraction is Catalyst regexp, no JSON library"
     ),
+    "bigram_logprob": (
+        "one bigram explode (adjacent-token zip, no window), map-side-"
+        "combined counts, score join keyed on the PAIR (bigram vocab "
+        "is never broadcast at 100 TB), history counts broadcast"
+    ),
     "focal_majority": (
         "scatter->gather with a per-class count: 9x Generate explode, "
         "TWO map-side-combined aggs (position,class then position), "
