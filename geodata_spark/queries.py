@@ -5555,6 +5555,54 @@ FROM d WHERE d2zdx2 IS NOT NULL AND d2zdy2 IS NOT NULL
 """
 
 
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal MAJORITY: dominant MODIS land-use class per zone — the
+    categorical sibling of the zonal means (ArcGIS "zonal statistics:
+    majority").  Cells join zones via the broadcast codegen CASE PIP,
+    then per-(zone, class) counts and the max(struct(count, −class))
+    winner — the focal_majority total-order trick at zone grain, no
+    rank window.  All integers ⇒ bit-exact oracle; overlapping zones
+    count their shared cells in BOTH (independent per-zone masks)."""
+    from geodata_spark.synth import synth_mask_layers
+
+    modis = synth_mask_layers(spark).filter(F.col("layer") == "modis")
+    zoned = spatial.join_zones(modis.select("lat", "lon", "value"), spark)
+    counts = zoned.groupBy("zone_id", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("zone_id").agg(
+        F.max(F.struct(F.col("c").alias("c"),
+                       (-F.col("value")).alias("negv"))).alias("_b"),
+        F.sum("c").cast("long").alias("n_cells"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    ).select(
+        "zone_id",
+        (-F.col("_b.negv")).alias("majority"),
+        F.col("_b.c").cast("long").alias("maj_n"),
+        "n_cells", "n_classes",
+    )
+
+
+def _zonal_majority_sql() -> str:
+    from geodata_spark.zones import zone_membership_sql
+
+    return f"""
+WITH {mask_layers_sql_cte()},
+modis AS (SELECT lat, lon, value FROM maskl WHERE layer = 'modis'),
+zoned AS ({zone_membership_sql('modis')}),
+counts AS (
+  SELECT zone_id, value, CAST(count(*) AS BIGINT) AS c
+  FROM zoned GROUP BY zone_id, value
+)
+SELECT zone_id,
+       -(max(struct_pack(c := c, negv := -value))).negv AS majority,
+       CAST((max(struct_pack(c := c, negv := -value))).c AS BIGINT) AS maj_n,
+       CAST(sum(c) AS BIGINT) AS n_cells,
+       CAST(count(*) AS BIGINT) AS n_classes
+FROM counts GROUP BY zone_id
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5761,6 +5809,7 @@ QUERIES = {
     "focal_majority": q_focal_majority,
     "terrain_curvature": q_terrain_curvature,
     "bigram_logprob": q_bigram_logprob,
+    "zonal_majority": q_zonal_majority,
 }
 
 ORACLES = {
@@ -5914,4 +5963,5 @@ ORACLES = {
     "focal_majority": _focal_majority_sql(),
     "terrain_curvature": _terrain_curvature_sql(),
     "bigram_logprob": TX.bigram_logprob_sql(),
+    "zonal_majority": _zonal_majority_sql(),
 }

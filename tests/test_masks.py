@@ -402,3 +402,29 @@ def test_laplacian_matches_numpy(spark):
     for r in laplacian_finite_diff(bdf).collect():
         if r.laplacian is not None:
             assert r.laplacian == 2.0
+
+
+def test_zonal_majority_semantics(spark):
+    """Zonal majority per the query: winner = most frequent class,
+    smallest class on ties; overlapping zones count shared cells in
+    both; n_cells/n_classes consistent."""
+    from collections import Counter
+
+    from geodata_spark.queries import q_zonal_majority
+    from geodata_spark.spatial import join_zones
+    from geodata_spark.synth import synth_mask_layers
+
+    out = {r.zone_id: r for r in q_zonal_majority(spark, "unused").collect()}
+    modis = synth_mask_layers(spark).filter(F.col("layer") == "modis")
+    zoned = join_zones(modis.select("lat", "lon", "value"), spark).collect()
+    per_zone: dict[str, list] = {}
+    for r in zoned:
+        per_zone.setdefault(r.zone_id, []).append(r.value)
+    assert set(out) == set(per_zone)
+    for z, vals in per_zone.items():
+        cnt = Counter(vals)
+        top = max(cnt.values())
+        want = min(v for v, c in cnt.items() if c == top)
+        r = out[z]
+        assert (r.majority, r.maj_n, r.n_cells, r.n_classes) == (
+            want, top, len(vals), len(cnt)), z

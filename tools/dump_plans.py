@@ -205,6 +205,11 @@ NOTES = {
         "hash aggregate — the sessionization two-exchange shape; zone "
         "extraction is Catalyst regexp, no JSON library"
     ),
+    "zonal_majority": (
+        "broadcast codegen CASE PIP join, one map-side-combined "
+        "(zone, class) count, winner via max(struct) in the tiny "
+        "per-zone agg — no rank window"
+    ),
     "bigram_logprob": (
         "one bigram explode (adjacent-token zip, no window), map-side-"
         "combined counts, score join keyed on the PAIR (bigram vocab "
