@@ -5603,6 +5603,59 @@ FROM counts GROUP BY zone_id
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY stage — the cleaned-corpus export that follows
+    pair detection and clustering: keep each near-dup cluster's
+    canonical survivor (smallest doc id, `dedup_clusters`' labelling)
+    plus every unclustered doc, each with its cluster size (1 for
+    singletons).  This is the row set a training pipeline actually
+    writes out after MinHash dedup.
+
+    Plan: the clustering result is CLUSTER-sized (tiny vs the corpus),
+    so the survivor filter and size join are broadcast; unclustered
+    docs arrive via a broadcast left-anti join — the corpus is scanned
+    once and never shuffled."""
+    docs = _docs(spark, sf_dir).withColumn("doc_id",
+                                           F.col("doc_id").cast("long"))
+    pairs = DD.minhash_dedup(docs, threshold=0.3, hash_mode="md5_60")
+    comp = DD.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    survivors = (
+        comp.filter(F.col("node") == F.col("component"))
+        .join(sizes, "component")
+        .select(F.col("node").cast("long").alias("doc_id"), "cluster_size")
+    )
+    singles = (
+        docs.join(F.broadcast(comp.select(F.col("node").alias("doc_id"))),
+                  "doc_id", "left_anti")
+        .select(F.col("doc_id"), F.lit(1).cast("long").alias("cluster_size"))
+    )
+    return survivors.unionByName(singles)
+
+
+def _dedup_apply_sql() -> str:
+    base = _dedup_clusters_sql()
+    head, tail = base.split("\nSELECT CAST(node AS BIGINT) AS doc_id", 1)
+    return f"""{head},
+ccomp AS (
+  SELECT node, min(label) AS component FROM walk GROUP BY node
+),
+csizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM ccomp GROUP BY component
+)
+SELECT CAST(c.node AS BIGINT) AS doc_id, s.cluster_size
+FROM ccomp c JOIN csizes s USING (component)
+WHERE c.node = c.component
+UNION ALL
+SELECT d.doc_id, CAST(1 AS BIGINT) AS cluster_size
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM ccomp)
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5810,6 +5863,7 @@ QUERIES = {
     "terrain_curvature": q_terrain_curvature,
     "bigram_logprob": q_bigram_logprob,
     "zonal_majority": q_zonal_majority,
+    "dedup_apply": q_dedup_apply,
 }
 
 ORACLES = {
@@ -5964,4 +6018,5 @@ ORACLES = {
     "terrain_curvature": _terrain_curvature_sql(),
     "bigram_logprob": TX.bigram_logprob_sql(),
     "zonal_majority": _zonal_majority_sql(),
+    "dedup_apply": _dedup_apply_sql(),
 }

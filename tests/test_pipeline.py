@@ -984,3 +984,38 @@ def test_bigram_logprob_python_twin(spark):
         assert got[i].n_bigrams == len(ps)
         assert abs(got[i].avg_ln_p2 - round(s / len(ps), 6)) < 2e-6, i
     assert got[1].avg_ln_p2 > got[3].avg_ln_p2  # salad scores lower
+
+
+def test_dedup_apply_invariants(spark, docs):
+    """The apply stage keeps exactly one survivor per cluster plus all
+    singletons: survivors are their clusters' min ids, kept + removed
+    == corpus, and cluster sizes reconcile with the clustering."""
+    from geodata_spark.queries import q_dedup_apply
+
+    base = docs.limit(30).select("doc_id", "text")
+    planted = base.limit(3).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    import os
+    import tempfile
+    d = tempfile.mkdtemp()
+    corpus.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    kept = {r.doc_id: r.cluster_size for r in q_dedup_apply(spark, d).collect()}
+    pairs = DD.minhash_dedup(corpus.withColumn("doc_id", F.col("doc_id").cast("long")),
+                             threshold=0.3, hash_mode="md5_60")
+    comp = {r.node: r.component for r in DD.connected_components(pairs).collect()}
+    n_corpus = corpus.count()
+    clustered = set(comp)
+    from collections import Counter
+    csize = Counter(comp.values())
+    # every kept clustered doc is its cluster's min id with the right size
+    for did, size in kept.items():
+        if did in clustered:
+            assert comp[did] == did and csize[did] == size, did
+        else:
+            assert size == 1, did
+    # one survivor per component + all singletons, nothing else
+    assert len(kept) == len(csize) + (n_corpus - len(clustered))
+    assert set(csize) <= set(kept)

@@ -205,6 +205,11 @@ NOTES = {
         "hash aggregate — the sessionization two-exchange shape; zone "
         "extraction is Catalyst regexp, no JSON library"
     ),
+    "dedup_apply": (
+        "clustering result is cluster-sized: survivor filter, size "
+        "join, and the unclustered anti-join are ALL broadcast — the "
+        "corpus is scanned once and never shuffled"
+    ),
     "zonal_majority": (
         "broadcast codegen CASE PIP join, one map-side-combined "
         "(zone, class) count, winner via max(struct) in the tiny "
