@@ -5656,6 +5656,74 @@ WHERE d.doc_id NOT IN (SELECT node FROM ccomp)
 """
 
 
+def q_cell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell temperature quantiles over the time axis (median /
+    p10 / p90) plus IQR — the distributional summary behind return-
+    period maps and robust anomaly thresholds.  Exact ``percentile``
+    vs DuckDB ``quantile_cont`` (shared linear-interpolation
+    definition, the doc_quantiles pinning), 6-dp compare; ONE
+    map-side-combined hash agg keyed by cell.  Scale rule as in
+    doc_quantiles: exact percentile buffers each group (48 values
+    here — bounded by the time range, never table size); at longer
+    horizons switch to approx_percentile's GK sketch."""
+    gv = _gv(spark).select("lat", "lon", "temperature")
+    qs = F.expr("percentile(temperature, array(0.1D, 0.5D, 0.9D))")
+    agg = gv.groupBy("lat", "lon").agg(
+        qs.alias("q"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return agg.select(
+        "lat", "lon", "n",
+        F.round(F.col("q")[0], 6).alias("p10"),
+        F.round(F.col("q")[1], 6).alias("p50"),
+        F.round(F.col("q")[2], 6).alias("p90"),
+        F.round(F.col("q")[2] - F.col("q")[0], 6).alias("p80_spread"),
+    )
+
+
+_CELL_QUANTILES_SQL = f"""
+WITH {_GV_CTE}
+SELECT lat, lon, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(temperature, 0.1), 6) AS p10,
+       round(quantile_cont(temperature, 0.5), 6) AS p50,
+       round(quantile_cont(temperature, 0.9), 6) AS p90,
+       round(quantile_cont(temperature, 0.9)
+             - quantile_cont(temperature, 0.1), 6) AS p80_spread
+FROM gridv GROUP BY lat, lon
+"""
+
+
+def q_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heating / cooling degree-hours per cell (HDD/CDD at hourly
+    grain): Σ max(0, 18.5 − T) and Σ max(0, T − 18.5) over the time
+    axis, plus the hours below/above base — the energy-demand index
+    the reference's heat-demand conversion feeds (convert.py heat
+    demand; here the climatological aggregate).  Base 18.5 and the
+    synth temperatures are dyadic ⇒ every term and sum is exact, NO
+    rounding; one map-side-combined agg."""
+    gv = _gv(spark).select("lat", "lon", "temperature")
+    hdd = F.greatest(F.lit(0.0), F.lit(18.5) - F.col("temperature"))
+    cdd = F.greatest(F.lit(0.0), F.col("temperature") - F.lit(18.5))
+    return gv.groupBy("lat", "lon").agg(
+        F.sum(hdd).alias("hdd"),
+        F.sum(cdd).alias("cdd"),
+        F.sum((F.col("temperature") < 18.5).cast("long")).alias("h_below"),
+        F.sum((F.col("temperature") > 18.5).cast("long")).alias("h_above"),
+    )
+
+
+_DEGREE_DAYS_SQL = f"""
+WITH {_GV_CTE}
+SELECT lat, lon,
+       sum(greatest(0.0, 18.5 - temperature)) AS hdd,
+       sum(greatest(0.0, temperature - 18.5)) AS cdd,
+       CAST(sum(CASE WHEN temperature < 18.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS h_below,
+       CAST(sum(CASE WHEN temperature > 18.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS h_above
+FROM gridv GROUP BY lat, lon
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5864,6 +5932,8 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "zonal_majority": q_zonal_majority,
     "dedup_apply": q_dedup_apply,
+    "cell_quantiles": q_cell_quantiles,
+    "degree_days": q_degree_days,
 }
 
 ORACLES = {
@@ -6019,4 +6089,6 @@ ORACLES = {
     "bigram_logprob": TX.bigram_logprob_sql(),
     "zonal_majority": _zonal_majority_sql(),
     "dedup_apply": _dedup_apply_sql(),
+    "cell_quantiles": _CELL_QUANTILES_SQL,
+    "degree_days": _DEGREE_DAYS_SQL,
 }

@@ -768,3 +768,26 @@ def test_ordinary_kriging_numpy_twin(spark):
         assert abs(pred - round(float(w[:k] @ v), 6)) < 2e-6, (tla, tlo)
         assert abs(kvar - round(float(sill - w[:k] @ c - w[k]), 6)) < 2e-6
         assert kvar > 0  # away from observations the variance is positive
+
+
+def test_cell_quantiles_and_degree_days_numpy(spark):
+    """Both per-cell summaries vs numpy on the synth slice: linear-
+    interpolation quantiles and exact degree-hour sums."""
+    from geodata_spark.queries import q_cell_quantiles, q_degree_days, _gv
+
+    gv = _gv(spark).select("lat", "lon", "temperature").toPandas()
+    qdf = {(r.lat, r.lon): r for r in q_cell_quantiles(spark, "unused").collect()}
+    ddf = {(r.lat, r.lon): r for r in q_degree_days(spark, "unused").collect()}
+    g = gv.groupby(["lat", "lon"]).temperature
+    for (la, lo), vals in g:
+        v = vals.to_numpy()
+        r = qdf[(la, lo)]
+        assert r.n == len(v)
+        assert abs(r.p10 - np.percentile(v, 10)) < 2e-6
+        assert abs(r.p50 - np.percentile(v, 50)) < 2e-6
+        assert abs(r.p90 - np.percentile(v, 90)) < 2e-6
+        d = ddf[(la, lo)]
+        assert d.hdd == np.maximum(0.0, 18.5 - v).sum()   # dyadic exact
+        assert d.cdd == np.maximum(0.0, v - 18.5).sum()
+        assert d.h_below == int((v < 18.5).sum())
+        assert d.h_above == int((v > 18.5).sum())

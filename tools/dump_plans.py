@@ -205,6 +205,15 @@ NOTES = {
         "hash aggregate — the sessionization two-exchange shape; zone "
         "extraction is Catalyst regexp, no JSON library"
     ),
+    "cell_quantiles": (
+        "ONE map-side-combined hash agg keyed by cell; exact "
+        "percentile buffers 48 values per group (time-range bounded); "
+        "GK sketch documented as the 100 TB path"
+    ),
+    "degree_days": (
+        "one map-side-combined agg, greatest()/CASE in codegen, "
+        "dyadic-exact sums — no window, no join"
+    ),
     "dedup_apply": (
         "clustering result is cluster-sized: survivor filter, size "
         "join, and the unclustered anti-join are ALL broadcast — the "
