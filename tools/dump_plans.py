@@ -205,6 +205,11 @@ NOTES = {
         "hash aggregate — the sessionization two-exchange shape; zone "
         "extraction is Catalyst regexp, no JSON library"
     ),
+    "weibull_wind": (
+        "one map-side-combined agg (n, sum, sum-of-squares); the "
+        "whole fit incl. Lanczos gamma is per-group scalar projection "
+        "in codegen — no second pass, no window, no join"
+    ),
     "cell_quantiles": (
         "ONE map-side-combined hash agg keyed by cell; exact "
         "percentile buffers 48 values per group (time-range bounded); "
