@@ -262,6 +262,7 @@ def join_zones(
     lon_col: str = "lon",
     strategy: str = "auto",
     grain: str = "grid",
+    hex_encode: str = "row",
 ) -> DataFrame:
     """Attach ``zone_id`` to every point row (inner join semantics).
 
@@ -295,9 +296,23 @@ def join_zones(
         from geodata_spark import hexgrid as HG
 
         cell_col = f"cell_hex{res}"
-        pts = points.withColumn(
-            cell_col, HG.hex7_id_udf(res)(F.col(lat_col), F.col(lon_col))
-        )
+        if hex_encode == "dim":
+            # raster-sourced corpora repeat a small coordinate lattice
+            # millions of times: encode the DISTINCT coords once (one
+            # cheap JVM shuffle of (lat, lon) pairs), broadcast the
+            # tiny coord->cell dimension back, and the Arrow UDF runs
+            # on thousands of rows instead of the full corpus.  Only
+            # valid when the coord cardinality is broadcast-sized —
+            # the caller asserts that by choosing "dim" (the default
+            # "row" path is cardinality-oblivious).
+            dim = points.select(lat_col, lon_col).distinct().withColumn(
+                cell_col, HG.hex7_id_udf(res)(F.col(lat_col), F.col(lon_col))
+            )
+            pts = points.join(F.broadcast(dim), [lat_col, lon_col])
+        else:
+            pts = points.withColumn(
+                cell_col, HG.hex7_id_udf(res)(F.col(lat_col), F.col(lon_col))
+            )
     else:
         cell_col = f"cell_r{res}"
         pts = points.withColumn(cell_col, cells.cell_expr(F.col(lat_col), F.col(lon_col), res))

@@ -445,3 +445,22 @@ def test_compact_uncompact_roundtrip_and_compression():
     one = full[:1]
     assert np.array_equal(H.hex7_compact_np(one), np.sort(one))
     assert np.array_equal(H.hex7_uncompact_np(one, 5), np.sort(one))
+
+
+def test_join_zones_hex_dim_encode_equivalence(spark):
+    """hex_encode="dim" (distinct-coordinate dimension + broadcast
+    join-back) returns exactly the row-encode result — same rows,
+    same multiplicity — on a lattice-bound point set."""
+    from pyspark.sql import functions as F
+
+    from geodata_spark.spatial import join_zones
+    from geodata_spark.synth import synth_grid_vars
+
+    pts = synth_grid_vars(spark, nhours=2, ny=20, nx=30,
+                          variables=("temperature",)) \
+        .select("lat", "lon", "temperature")
+    a = join_zones(pts, spark, res=5, grain="hex", hex_encode="row")
+    b = join_zones(pts, spark, res=5, grain="hex", hex_encode="dim")
+    ka = sorted((r.zone_id, r.lat, r.lon, r.temperature) for r in a.collect())
+    kb = sorted((r.zone_id, r.lat, r.lon, r.temperature) for r in b.collect())
+    assert ka == kb and len(ka) > 0
