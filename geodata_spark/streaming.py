@@ -274,3 +274,65 @@ def streaming_upsert(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_continuous_rollup(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "val",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Continuously-maintained time-bucket rollup (the hypertable /
+    continuous-aggregate pattern): a watermarked tumbling-window
+    aggregate in UPDATE output mode, merged into a partitioned
+    parquet rollup via the idempotent keyed upsert.
+
+    The piece plain append-mode windowed aggs cannot give: a LATE row
+    inside the watermark re-emits its bucket's refreshed totals, and
+    the merge REPLACES the previously-written bucket row (recency =
+    epoch id), so the rollup table self-corrects instead of dropping
+    or double-counting the straggler.  Beyond-watermark rows are
+    dropped by contract — the documented divergence from a full batch
+    recompute (tests pin BOTH behaviors).
+
+    Scale shape: the windowed agg carries bounded state (buckets
+    inside the watermark horizon); each micro-batch merge rewrites
+    only the partitions of buckets that actually changed
+    (sinks.merge_upsert's copy-on-write contract); replayed batches
+    converge because the merge takes the max (epoch, totals) struct.
+    """
+    from geodata_spark import sinks
+
+    keys = key_cols or ["kind"]
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_len).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(value_col).alias("val_sum"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), *keys, "n_rows", "val_sum",
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+        )
+    )
+
+    def _merge_batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        upd = df.withColumn("seq", F.lit(int(epoch_id)).cast("long"))
+        sinks.merge_upsert(
+            df.sparkSession, target_path, upd,
+            key_cols=["bucket", *keys], partition_col="day", seq_col="seq",
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

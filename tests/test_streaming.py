@@ -448,3 +448,77 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM funnel_stream").collect()))
     q.stop()
     assert got == want
+
+
+def test_streaming_continuous_rollup_corrects_late_rows(spark, tmp_path):
+    """The hypertable/continuous-aggregate pattern: an UPDATE-mode
+    windowed agg merged into a parquet rollup via the idempotent
+    keyed upsert.  A late-but-inside-watermark row RE-EMITS its bucket
+    and the merge REPLACES the stale row (self-correction — what
+    append mode cannot do); a beyond-watermark straggler is dropped
+    (pinned as the documented divergence from batch recompute)."""
+    import datetime as dt
+    import os
+    import time
+
+    src = str(tmp_path / "cr_src")
+    tgt = str(tmp_path / "cr_rollup")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def write_chunk(rows):
+        spark.createDataFrame(
+            rows, "ts timestamp, kind string, val double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # chunk 1: bucket 10:00 (3 rows) + bucket 11:00 (1 row); max
+    # event time 11:30 -> watermark 09:30 after the batch
+    write_chunk([(at(5), "geo", 1.0), (at(20), "geo", 2.0),
+                 (at(40), "geo", 4.0), (at(90), "geo", 8.0)])
+    stream = (
+        spark.readStream.schema("ts timestamp, kind string, val double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = ST.streaming_continuous_rollup(
+        stream, tgt, str(tmp_path / "cr_ckpt"),
+        window_len="1 hour", watermark="2 hours",
+    )
+    q.processAllAvailable()
+    first = {r.bucket: (r.n_rows, r.val_sum)
+             for r in spark.read.parquet(tgt).collect()}
+    assert first[t0] == (3, 7.0)
+
+    # chunk 2: a LATE row for bucket 10:00 (10:50 > the 09:30
+    # watermark -> admitted, bucket re-emitted) + a row at 14:30 that
+    # advances the watermark to 12:30
+    time.sleep(1.05)
+    write_chunk([(at(50), "geo", 16.0), (at(270), "geo", 32.0)])
+    q.processAllAvailable()
+    mid = {r.bucket: (r.n_rows, r.val_sum)
+           for r in spark.read.parquet(tgt).collect()}
+    assert mid[t0] == (4, 23.0)  # the stale (3, 7.0) row was REPLACED
+
+    # chunk 3: a beyond-watermark straggler for bucket 10:00 (10:55 is
+    # far older than the 12:30 watermark; its window state is evicted)
+    time.sleep(1.05)
+    write_chunk([(at(55), "geo", 64.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    final = {r.bucket: (r.n_rows, r.val_sum)
+             for r in spark.read.parquet(tgt).collect()}
+    assert final[t0] == (4, 23.0)  # straggler dropped, no corruption
+    assert final[at(60)] == (1, 8.0)
+    assert final[at(240)] == (1, 32.0)
+    # one row per (bucket, kind): the merge never duplicates
+    all_rows = spark.read.parquet(tgt).collect()
+    assert len(all_rows) == len({(r.bucket, r.kind) for r in all_rows})
+    # documented divergence: a full batch recompute WOULD count the
+    # straggler — the watermark trade is visible, not silent
+    batch = spark.read.parquet(src).groupBy(
+        F.window("ts", "1 hour").alias("w"), "kind").count().collect()
+    b10 = [r for r in batch if r.w.start == t0][0]
+    assert b10["count"] == 5
