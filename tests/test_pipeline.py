@@ -1019,3 +1019,23 @@ def test_dedup_apply_invariants(spark, docs):
     # one survivor per component + all singletons, nothing else
     assert len(kept) == len(csize) + (n_corpus - len(clustered))
     assert set(csize) <= set(kept)
+
+
+def test_pq_topk_plan_repartitions_before_fanout(spark, vecs):
+    """Scale-shape pin for the round-7 finding: the compressed code
+    table's scan gets ~1 input split, so pq_topk MUST repartition it
+    to session parallelism before the broadcast fan-out (without it
+    the 25.6M-row sort ran serially — 75s vs 3.6s at 100k x 256).
+    The plan must show a round-robin Exchange under the fan-out join
+    and no shuffle of the fan-out output other than the window's
+    hash partitioning."""
+    codes, books = SIM.pq_train_encode(vecs, m=4, ksub=4, iters=2)
+    queries = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = SIM.pq_topk(codes, books, queries, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the window only
