@@ -845,3 +845,37 @@ def test_weibull_wind_fit_properties(spark):
     # Justus' power-law is an APPROXIMATION of the exact moment
     # relation; at the Rayleigh point its error is ~1.1%
     assert abs(k - 2.0) < 0.05
+
+
+def test_r7_query_plan_shapes(spark):
+    """Scale-shape pins for the round-7 operator batch: no cartesian
+    anywhere; od_matrix = exactly its two keyed exchanges (user
+    window + pair agg); areal_interp and zonal_majority join via
+    broadcast only; bloom's screen stage carries no join for the
+    scan-side probe (the bitset is a codegen literal)."""
+    from geodata_spark.queries import (q_areal_interp, q_bloom_decontam,
+                                       q_od_matrix, q_zonal_majority)
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p_od = plan(q_od_matrix(spark, sf))
+    assert "CartesianProduct" not in p_od and "Join" not in p_od
+    assert p_od.count("Exchange hashpartitioning") == 2
+
+    p_ar = plan(q_areal_interp(spark, sf))
+    assert "CartesianProduct" not in p_ar
+    assert "SortMergeJoin" not in p_ar  # everything broadcast/equi
+
+    p_zm = plan(q_zonal_majority(spark, sf))
+    assert "CartesianProduct" not in p_zm
+    assert "BroadcastHashJoin" in p_zm and "SortMergeJoin" not in p_zm
+
+    p_bl = plan(q_bloom_decontam(spark, sf))
+    assert "CartesianProduct" not in p_bl
+    # exact verify join is the broadcast; the Bloom probe itself is a
+    # literal-array expression, visible as the packed bitset constant
+    assert "BroadcastHashJoin" in p_bl
+    assert p_bl.count("element_at") >= 3
