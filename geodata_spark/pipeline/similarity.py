@@ -773,22 +773,19 @@ def ivfpq_topk(
     )
 
 
-def pq_topk_sql(
-    m: int = 4,
-    ksub: int = 4,
-    iters: int = 2,
-    dim: int = 64,
-    k: int = 5,
-    n_queries: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    table: str = "embeddings",
-) -> str:
-    """DuckDB twin of train→encode→ADC-score: per subspace the
-    :func:`kmeans_lloyd_sql` unroll runs on the list slice, then the
-    scoring CTE re-derives every lookup from the SQL-side codebooks —
-    nothing is smuggled across from the Spark run."""
-    dsub = dim // m
+def _pq_sql_parts(
+    m: int,
+    ksub: int,
+    iters: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+    table: str,
+) -> tuple[str, str, str, str]:
+    """Shared per-subspace SQL machinery for the PQ oracles: returns
+    (body_blocks, x_cte, cb_joins, terms) — the kmeans unroll per
+    subspace, the joined code table ``x``, the codebook joins, and the
+    ADC term sum (fixed left-assoc order, matching the Spark fold)."""
     d2 = ("round(list_sum(list_transform(list_zip(v, c), "
           "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)")
     blocks = []
@@ -851,12 +848,34 @@ codes{s} AS (
         for s in range(m)
     )
     body = ",".join(blocks)
-    return f"""
-WITH {body},
-x AS (
+    x_cte = f"""x AS (
   SELECT id, {code_cols}
   FROM codes0 x0 {join_codes}
-),
+)"""
+    return body, x_cte, cb_joins, terms
+
+
+def pq_topk_sql(
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 5,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of train→encode→ADC-score: per subspace the
+    :func:`kmeans_lloyd_sql` unroll runs on the list slice, then the
+    scoring CTE re-derives every lookup from the SQL-side codebooks —
+    nothing is smuggled across from the Spark run."""
+    body, x_cte, cb_joins, terms = _pq_sql_parts(
+        m, ksub, iters, dim // m, id_col, vec_col, table
+    )
+    return f"""
+WITH {body},
+{x_cte},
 q AS (
   SELECT {id_col} AS query_id,
          list_transform({vec_col}, e -> CAST(e AS DOUBLE)) AS qv
@@ -875,4 +894,100 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_r6
 FROM ranked WHERE rank <= {k}
+"""
+
+
+_COS_SQL = (
+    "list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+def ivfpq_topk_sql(
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    k: int = 5,
+    shortlist: int = 12,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of the FULL :func:`ivfpq_topk` pipeline — coarse
+    quantizer, cell assignment, probe selection, per-subspace PQ
+    training + encoding, in-cell ADC shortlist, exact re-rank — every
+    stage re-derived in SQL from the raw table.  Probe/assignment
+    cosines round at 9 dp and the final cosine at 6 dp, matching the
+    ivf_topk cross-engine tie guards; ADC terms keep the fixed
+    left-assoc order of the Spark fold."""
+    body, x_cte, cb_joins, terms = _pq_sql_parts(
+        m, ksub, iters, dim // m, id_col, vec_col, table
+    )
+    cos_vc = "round(" + _COS_SQL.format(a=f"v.{vec_col}", b="c.cent") + ", 9)"
+    cos_qc = "round(" + _COS_SQL.format(a="q.qraw", b="c.cent") + ", 9)"
+    cos_sv = _COS_SQL.format(a=f"v.{vec_col}", b="q.qraw")
+    return f"""
+WITH {body},
+{x_cte},
+cents AS (
+  SELECT {id_col} AS cell, {vec_col} AS cent
+  FROM {table} ORDER BY {id_col} LIMIT {n_cells}
+),
+v_assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.{id_col} AS vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.{id_col}
+                              ORDER BY {cos_vc} DESC, c.cell ASC) AS r
+    FROM {table} v, cents c
+  ) WHERE r = 1
+),
+q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qraw,
+         list_transform({vec_col}, e -> CAST(e AS DOUBLE)) AS qv
+  FROM {table} WHERE {id_col} < {n_queries}
+),
+q_probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qc} DESC, c.cell ASC) AS r
+    FROM q, cents c
+  ) WHERE r <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, va.vec_id
+  FROM q_probes p JOIN v_assigned va USING (cell)
+  WHERE va.vec_id <> p.query_id
+),
+adc_scored AS (
+  SELECT cand.query_id, cand.vec_id, {terms} AS adc
+  FROM cand
+  JOIN x ON x.id = cand.vec_id {cb_joins}
+  JOIN q ON q.query_id = cand.query_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, vec_id ASC) AS r
+    FROM adc_scored
+  ) WHERE r <= {shortlist}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id, round({cos_sv}, 6) AS cosine_r6
+  FROM short s
+  JOIN {table} v ON v.{id_col} = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine_r6 FROM (
+  SELECT query_id, vec_id, cosine_r6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_r6 DESC, vec_id ASC) AS rank
+  FROM exact
+) WHERE rank <= {k}
 """

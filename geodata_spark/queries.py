@@ -5816,6 +5816,26 @@ FROM agg
 """
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL FAISS-style IVF·PQ·refine production pipeline, every
+    stage oracle-checked: deterministic coarse quantizer → cell
+    assignment → probe selection → per-subspace PQ train/encode →
+    in-cell ADC shortlist → exact re-rank (similarity.ivfpq_topk vs
+    similarity.ivfpq_topk_sql).  The fixture shape is small
+    (8 cells / probe 4 / m=4 / ksub=4 / shortlist 12); bench.py
+    times the production shape and recall in the crossover study."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.ivf_centroids(vecs, 8)
+    assigned = SIM.ivf_assign(vecs, cents)
+    codes, books = SIM.pq_train_encode(vecs, m=4, ksub=4, iters=2)
+    queries = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return SIM.ivfpq_topk(assigned, codes, books, cents, vecs, queries,
+                          n_probe=4, k=5, shortlist=12)
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -6027,6 +6047,7 @@ QUERIES = {
     "cell_quantiles": q_cell_quantiles,
     "degree_days": q_degree_days,
     "weibull_wind": q_weibull_wind,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 ORACLES = {
@@ -6185,4 +6206,7 @@ ORACLES = {
     "cell_quantiles": _CELL_QUANTILES_SQL,
     "degree_days": _DEGREE_DAYS_SQL,
     "weibull_wind": _weibull_wind_sql(),
+    "ann_ivfpq_topk": SIM.ivfpq_topk_sql(m=4, ksub=4, iters=2, dim=64,
+                                         n_cells=8, n_probe=4, k=5,
+                                         shortlist=12, n_queries=8),
 }

@@ -266,6 +266,11 @@ NOTES = {
         "only survivors take the exact broadcast join — two shuffles "
         "total (the two per-doc aggs)"
     ),
+    "ann_ivfpq_topk": (
+        "three multiplicative reductions, each an equi-join: cell "
+        "probe prunes partitions, ADC reads 8-byte codes (broadcast "
+        "per-query LUTs), exact re-rank touches shortlist rows only"
+    ),
     "ann_pq_refine": (
         "two-pass ANN: compressed ADC shortlist (one code-table scan) "
         "then an id-keyed semi-join re-rank touching nq*shortlist raw "
