@@ -5836,6 +5836,14 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_probe=4, k=5, shortlist=12)
 
 
+def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): the HAVING filter runs
+    on the lineitem pre-aggregate BEFORE any join, reducing the
+    big-big pair to the qualifying-order set first
+    (tpch.big_orders)."""
+    return TP.big_orders(spark, sf_dir, min_qty=300.0)
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -6048,6 +6056,7 @@ QUERIES = {
     "degree_days": q_degree_days,
     "weibull_wind": q_weibull_wind,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "tpch_big_orders": q_tpch_big_orders,
 }
 
 ORACLES = {
@@ -6209,4 +6218,5 @@ ORACLES = {
     "ann_ivfpq_topk": SIM.ivfpq_topk_sql(m=4, ksub=4, iters=2, dim=64,
                                          n_cells=8, n_probe=4, k=5,
                                          shortlist=12, n_queries=8),
+    "tpch_big_orders": TP.big_orders_sql(min_qty=300.0),
 }

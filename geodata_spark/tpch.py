@@ -244,3 +244,58 @@ LEFT JOIN (SELECT o_custkey, o_totalprice FROM orders
   ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog: large-volume orders (HAVING pushed into a pre-agg)
+# ---------------------------------------------------------------------------
+
+def big_orders(spark: SparkSession, sf_dir: str,
+               min_qty: float = 300.0) -> DataFrame:
+    """Large-volume orders (the Q18 shape): orders whose total line
+    quantity exceeds ``min_qty``, with their customer.
+
+    The scale-relevant move: the HAVING filter runs on the lineitem
+    PRE-aggregate keyed by orderkey BEFORE any join — the big-big
+    lineitem×orders pair is reduced to the (tiny) qualifying-order set
+    first, so the orders and customer joins see thousands of rows,
+    not the fact table.  Quantities are dyadic (.0 steps) ⇒ the sum
+    and the threshold comparison are exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            cents("o_totalprice").alias("totalprice_c"),
+            "total_qty",
+        )
+    )
+
+
+def big_orders_sql(min_qty: float = 300.0) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {min_qty!r}
+)
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""

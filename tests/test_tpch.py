@@ -111,3 +111,26 @@ def test_approx_count_distinct_bounded_error(spark):
     assert len(got) == 5
     for r in got:
         assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact), r
+
+
+def test_big_orders_having_before_join(spark):
+    """Q18 shape: every returned order's recomputed line-quantity sum
+    exceeds the threshold, and the plan aggregates lineitem BEFORE the
+    orders join (the big-big pair is never materialized)."""
+    from geodata_spark.tpch import big_orders
+
+    df = big_orders(spark, SF_DIR, min_qty=300.0)
+    rows = df.collect()
+    assert rows and all(r.total_qty > 300.0 for r in rows)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    want = {
+        r.l_orderkey: r.s
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s")).filter("s > 300").collect()
+    }
+    assert {r.o_orderkey for r in rows} == set(want)
+    for r in rows:
+        assert r.total_qty == want[r.o_orderkey]
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the quantity aggregate sits BELOW both joins in the plan tree
+    assert plan.index("Aggregate") > plan.index("Join")  # joins above agg

@@ -266,6 +266,11 @@ NOTES = {
         "only survivors take the exact broadcast join — two shuffles "
         "total (the two per-doc aggs)"
     ),
+    "tpch_big_orders": (
+        "Q18 shape: HAVING runs on the lineitem pre-aggregate BELOW "
+        "both joins — the big-big pair reduces to the qualifying-order "
+        "set before orders/customer are touched"
+    ),
     "ann_ivfpq_topk": (
         "three multiplicative reductions, each an equi-join: cell "
         "probe prunes partitions, ADC reads 8-byte codes (broadcast "
