@@ -5844,6 +5844,61 @@ def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.big_orders(spark, sf_dir, min_qty=300.0)
 
 
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics staple whose hard part is a ROLLING COUNT DISTINCT.
+    Spark has no distinct-over-range window, so this uses the scatter
+    trick: each distinct (user, day) contributes itself to the 7 days
+    it keeps the user "weekly-active" for, then ONE distinct-count per
+    target day — constant 7× fan-out of the (user, day) pairs (already
+    deduplicated, tiny vs events), no self-join, no HLL approximation.
+    Output days are restricted to the observed range (a trailing
+    window needs no warm-up rows past the data)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    scattered = ud.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6))
+        .alias("tday")
+    )
+    wau = scattered.groupBy(F.col("tday").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("long").alias("day"), "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness_r6"),
+        )
+    )
+
+
+_DAU_WAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY day
+),
+wau AS (
+  SELECT tday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM ud, unnest(generate_series(day, day + 6, 1)) AS g(tday)
+  GROUP BY tday
+)
+SELECT CAST(d.day AS BIGINT) AS day, d.dau, w.wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness_r6
+FROM dau d JOIN wau w USING (day)
+"""
+
+
 # Ordering contract: the driver's correctness sweep snapshots only the
 # FIRST 50 entries.  Rounds 3-4 left 15 newer queries past the window,
 # so they were judge-verified but never driver-verified.  Round 5
@@ -6057,6 +6112,7 @@ QUERIES = {
     "weibull_wind": q_weibull_wind,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "tpch_big_orders": q_tpch_big_orders,
+    "dau_wau": q_dau_wau,
 }
 
 ORACLES = {
@@ -6219,4 +6275,5 @@ ORACLES = {
                                          n_cells=8, n_probe=4, k=5,
                                          shortlist=12, n_queries=8),
     "tpch_big_orders": TP.big_orders_sql(min_qty=300.0),
+    "dau_wau": _DAU_WAU_SQL,
 }

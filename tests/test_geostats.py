@@ -879,3 +879,42 @@ def test_r7_query_plan_shapes(spark):
     # literal-array expression, visible as the packed bitset constant
     assert "BroadcastHashJoin" in p_bl
     assert p_bl.count("element_at") >= 3
+
+
+def test_dau_wau_rolling_distinct_semantics(spark):
+    """The scatter rolling-distinct: WAU(day) counts users active on
+    ANY of day-6..day (trailing 7), verified against a brute-force
+    python recompute on a planted stream; DAU <= WAU always."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from geodata_spark.queries import q_dau_wau
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    eid = 0
+    # user 1 active days 0 and 9; user 2 days 0..4; user 3 day 2 only
+    for uid, days in ((1, [0, 9]), (2, [0, 1, 2, 3, 4]), (3, [2])):
+        for d in days:
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=d), uid, "view",
+                         1.0, '{"k": 1}'))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.day: (r.dau, r.wau) for r in q_dau_wau(spark, d).collect()}
+
+    active = {1: {0, 9}, 2: {0, 1, 2, 3, 4}, 3: {2}}
+    for day, (dau, wau) in got.items():
+        want_dau = sum(1 for u in active if day in active[u])
+        want_wau = sum(1 for u in active
+                       if any(day - 6 <= x <= day for x in active[u]))
+        assert (dau, wau) == (want_dau, want_wau), day
+        assert dau <= wau
+    # day 9: only user 1 is daily-active; user 2 (last active day 4)
+    # still counts in the trailing week [3..9], user 3 (day 2) aged out
+    assert got[9] == (1, 2)
+    assert got[2] == (2, 3)

@@ -266,6 +266,11 @@ NOTES = {
         "only survivors take the exact broadcast join — two shuffles "
         "total (the two per-doc aggs)"
     ),
+    "dau_wau": (
+        "rolling COUNT DISTINCT via scatter: dedup (user, day) once, "
+        "explode each pair to its 7 covered days, one distinct-count "
+        "agg — no range self-join, no sketch"
+    ),
     "tpch_big_orders": (
         "Q18 shape: HAVING runs on the lineitem pre-aggregate BELOW "
         "both joins — the big-big pair reduces to the qualifying-order "
