@@ -57,15 +57,22 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 def parse_geo_spans(docs: DataFrame, kinds: tuple[str, ...] = ("geo",)) -> DataFrame:
     """Explode + parse geo-referenced media_refs into typed columns.
 
-    All parsing is JVM-side — no Python.  A single ``split`` on the
-    separator class replaces four full-pattern ``regexp_extract``
-    calls: one regex pass and one array allocation per row instead of
-    four matcher runs, which measured 1.5-2.4x faster and (more
-    importantly at high thread counts) removed multi-second GC storms
-    from matcher/string churn.  Format (both `geo:` and `tile:` refs)::
+    All parsing is JVM-side — no Python.  Fields are cut with
+    ``substring_index`` chains (plain byte scans) rather than a regex
+    ``split``: split pays a regex engine pass plus an 8-element array
+    allocation per evaluation, and the optimizer DUPLICATES parse
+    expressions (the pushed ``isnotnull(join-key)`` filter and the
+    projection each carry their own copy — plan-visible as split()
+    appearing in both Filter and Project), so the per-evaluation cost
+    is paid up to 6x per row.  Independent per-field byte scans make
+    every copy cheap; measured 1.36x on the scan+parse stage and 1.2x
+    on the whole flagship (r8).  Format (both `geo:` and `tile:`)::
 
         geo:{lat},{lon}@h{hour}#var={name}&val={val}
-        -> split on [:,@#&=] -> [geo, lat, lon, h{hour}, var, name, val, val]
+        lat  = between first ':' and first ','
+        lon  = between first ',' and first '@'
+        hour = between '@h' and first '#'
+        val  = after the last '='
 
     Output: (doc_id, span_idx, kind, offset, lat, lon, hour, ts, val).
     Malformed refs are guarded by the ``kind`` filter (structurally
@@ -73,19 +80,22 @@ def parse_geo_spans(docs: DataFrame, kinds: tuple[str, ...] = ("geo",)) -> DataF
     validation pattern for audit paths.
     """
     spans = explode_spans(docs).filter(F.col("kind").isin(*kinds))
-    p = F.split(F.col("media_ref"), "[:,@#&=]")
+    m = F.col("media_ref")
     # two select passes, not six withColumns: every withColumn copies +
     # re-analyzes the whole plan on the driver, which dominated cold
-    # query latency (codegen dedups the shared split() at runtime)
+    # query latency
     parsed = spans.select(
         "doc_id",
         "span_idx",
         "kind",
         "offset",
-        p.getItem(1).cast("double").alias("lat"),
-        p.getItem(2).cast("double").alias("lon"),
-        F.substring(p.getItem(3), 2, 12).cast("long").alias("hour"),
-        F.element_at(p, -1).cast("double").alias("val"),
+        F.substring_index(F.substring_index(m, ",", 1), ":", -1)
+        .cast("double").alias("lat"),
+        F.substring_index(F.substring_index(m, "@", 1), ",", -1)
+        .cast("double").alias("lon"),
+        F.substring_index(F.substring_index(m, "#", 1), "@h", -1)
+        .cast("long").alias("hour"),
+        F.substring_index(m, "=", -1).cast("double").alias("val"),
     )
     return parsed.select(
         "doc_id", "span_idx", "kind", "offset", "lat", "lon", "hour", "val",
@@ -296,23 +306,22 @@ def join_zones(
         from geodata_spark import hexgrid as HG
 
         cell_col = f"cell_hex{res}"
-        if hex_encode == "dim":
-            # raster-sourced corpora repeat a small coordinate lattice
-            # millions of times: encode the DISTINCT coords once (one
-            # cheap JVM shuffle of (lat, lon) pairs), broadcast the
-            # tiny coord->cell dimension back, and the Arrow UDF runs
-            # on thousands of rows instead of the full corpus.  Only
-            # valid when the coord cardinality is broadcast-sized —
-            # the caller asserts that by choosing "dim" (the default
-            # "row" path is cardinality-oblivious).
-            dim = points.select(lat_col, lon_col).distinct().withColumn(
-                cell_col, HG.hex7_id_udf(res)(F.col(lat_col), F.col(lon_col))
-            )
-            pts = points.join(F.broadcast(dim), [lat_col, lon_col])
-        else:
-            pts = points.withColumn(
-                cell_col, HG.hex7_id_udf(res)(F.col(lat_col), F.col(lon_col))
-            )
+        # Both modes now encode in ONE pass over the input with the
+        # per-batch coordinate dedup inside hex7_id_udf (raster-sourced
+        # corpora repeat a small lattice, so the trig + digit walk runs
+        # once per unique coordinate per batch).  The round-7 "dim"
+        # mode (distinct → encode → broadcast join back) moved fewer
+        # rows through Python but RE-EXECUTED the entire upstream plan
+        # for its distinct branch — a second full synth+parse pass
+        # when the input is an inline generator rather than a cheap
+        # parquet rescan (measured +8s of the hex flagship's 19s at 2M
+        # docs, r8).  One pass + batch dedup keeps the Python work per
+        # unique coordinate without ever paying a second scan; the
+        # parameter is kept for API compatibility and both values are
+        # row-for-row identical (pinned by the zonal_wavg_hex oracle).
+        pts = points.withColumn(
+            cell_col, HG.hex7_id_udf(res)(F.col(lat_col), F.col(lon_col))
+        )
     else:
         cell_col = f"cell_r{res}"
         pts = points.withColumn(cell_col, cells.cell_expr(F.col(lat_col), F.col(lon_col), res))

@@ -96,6 +96,28 @@ def _h_sql(i: str, j: str, k: int) -> str:
 # Spark-side generation
 # ---------------------------------------------------------------------------
 
+def _dec4(x: Column) -> Column:
+    """Render a dyadic value with ≤4 decimal digits exactly as
+    ``%.4f`` would — by integer arithmetic instead of Java's
+    ``Formatter`` (which re-parses the format string and walks the
+    float formatting path per row; measured 2x on the ref-building
+    projection, r8, byte-equal output).
+
+    Precondition: ``x * 10000`` is an exact integer in double (true
+    for every synth field — lat/lon/val are dyadic rationals on a
+    1/16-or-coarser grid), so ``%.4f`` performs no rounding and equals
+    sign + integer part + '.' + zero-padded 4-digit fraction.
+    """
+    n = (x * F.lit(10000.0)).cast("long")
+    a = F.abs(n)
+    return F.concat(
+        F.when(n < 0, F.lit("-")).otherwise(F.lit("")),
+        (a / F.lit(10000)).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad(F.pmod(a, F.lit(10000)).cast("string"), 4, "0"),
+    )
+
+
 def _span_fields(i: Column, j: Column) -> dict[str, Column]:
     """All derived per-span fields from (doc index i, span index j)."""
     code = _h_expr(i, j, 1) % 8  # 0,1 text | 2,3,4 geo | 5 image | 6,7 raster_tile
@@ -123,13 +145,26 @@ def _span_fields(i: Column, j: Column) -> dict[str, Column]:
         .when(is_tile, F.lit("raster_tile"))
         .otherwise(F.lit("text"))
     )
-    geo_ref = F.format_string(
-        "geo:%.4f,%.4f@h%d#var=wnd100m&val=%.4f", lat, lon, hour, val
+    # refs built by concat of integer-exact pieces, not format_string:
+    # Java's Formatter parses the pattern and walks the general float
+    # path per row; dec4/cast render the same bytes at half the cost
+    # (byte-equality pinned by the parse round-trip tests and every
+    # corpus oracle hash)
+    geo_ref = F.concat(
+        F.lit("geo:"), _dec4(lat), F.lit(","), _dec4(lon),
+        F.lit("@h"), hour.cast("string"),
+        F.lit("#var=wnd100m&val="), _dec4(val),
     )
-    tile_ref = F.format_string(
-        "tile:%.4f,%.4f@h%d#res=7&val=%.4f", lat, lon, hour, val
+    tile_ref = F.concat(
+        F.lit("tile:"), _dec4(lat), F.lit(","), _dec4(lon),
+        F.lit("@h"), hour.cast("string"),
+        F.lit("#res=7&val="), _dec4(val),
     )
-    img_ref = F.format_string("img://shard%d/%d/%d.bin", _h_expr(i, j, 6) % 16, i, j)
+    img_ref = F.concat(
+        F.lit("img://shard"), (_h_expr(i, j, 6) % 16).cast("string"),
+        F.lit("/"), i.cast("string"), F.lit("/"), j.cast("string"),
+        F.lit(".bin"),
+    )
     media_ref = (
         F.when(is_geo, geo_ref)
         .when(is_tile, tile_ref)
@@ -138,11 +173,10 @@ def _span_fields(i: Column, j: Column) -> dict[str, Column]:
     )
     text = F.when(
         code <= 1,
-        F.format_string(
-            "w%d w%d w%d",
-            _h_expr(i, j, 7) % 1000,
-            _h_expr(i, j, 10) % 1000,
-            _h_expr(i, j, 11) % 1000,
+        F.concat(
+            F.lit("w"), (_h_expr(i, j, 7) % 1000).cast("string"),
+            F.lit(" w"), (_h_expr(i, j, 10) % 1000).cast("string"),
+            F.lit(" w"), (_h_expr(i, j, 11) % 1000).cast("string"),
         ),
     ).otherwise(F.lit(""))
     offset = (j * F.lit(16) + _h_expr(i, j, 8) % 16).cast("int")
@@ -182,7 +216,9 @@ def synth_documents(spark: SparkSession, n_docs: int, num_partitions: int | None
         )
 
     return df.select(
-        F.format_string("doc%012d", i).alias("doc_id"),
+        # lpad-concat == "doc%012d" for the corpus contract i < 3.4e9
+        # (≤ 10 digits; Spark lpad would truncate only past 12)
+        F.concat(F.lit("doc"), F.lpad(i.cast("string"), 12, "0")).alias("doc_id"),
         F.transform(F.sequence(F.lit(0), nspans - F.lit(1)), mk_span).alias("spans"),
     )
 
@@ -203,7 +239,7 @@ def synth_documents_exploded(spark: SparkSession, n_docs: int) -> DataFrame:
     )
     f = _span_fields(F.col("i"), F.col("j").cast("long"))
     return df.select(
-        F.format_string("doc%012d", F.col("i")).alias("doc_id"),
+        F.concat(F.lit("doc"), F.lpad(F.col("i").cast("string"), 12, "0")).alias("doc_id"),
         F.col("i"),
         F.col("j").cast("long").alias("j"),
         f["kind"].alias("kind"),
