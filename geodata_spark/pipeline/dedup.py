@@ -141,6 +141,12 @@ def bloom_contamination_screen(
     """
     if m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two")
+    if not 1 <= k_hashes <= 4:
+        # 4 non-overlapping 8-hex-char slices exhaust the 32-char md5;
+        # slice 5 would read past it — substring yields '' and conv()
+        # returns NULL positions in Spark while the DuckDB twin errors,
+        # a silent cross-engine divergence (ADVICE r7)
+        raise ValueError("k_hashes must be 1..4 (md5 has four 8-hex slices)")
     corpus_sh = with_shingles(docs, n, id_col, text_col)
     bench_sh = with_shingles(benchmark, n, id_col, text_col) \
         .select("shingle").distinct()
@@ -270,9 +276,25 @@ def with_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         F.split(F.expr(normalize_sql(text_col, "spark")), " ").alias("_toks"),
     )
     idx = F.sequence(F.lit(0), F.size(toks) - n)
+
+    def _mk_shingle(i: Column) -> Column:
+        # concat of element_at lookups, not array_join(slice(...)):
+        # slice allocates an n-element array per shingle index before
+        # the join copies it again; direct indexed concat skips the
+        # intermediate array entirely (measured 1.4x on the shingle
+        # stage, r8; byte-identical output — split() never yields null
+        # elements, so concat's null semantics cannot differ from
+        # array_join's)
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + j + 1))
+        return F.concat(*parts)
+
     sh = F.when(
         F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        F.transform(idx, _mk_shingle),
     ).otherwise(F.array().cast("array<string>"))
     out = (
         base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
@@ -513,6 +535,14 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5, k: int = 64,
     else:
         verify_docs = docs
     sh = with_shingles(verify_docs, n, id_col, text_col, max_shingle_freq)
+    if max_shingle_freq is None:
+        # the verify join reads the shingle table THREE times (sizes +
+        # both pair sides); it is candidate-bounded (only docs with an
+        # LSH collision), so materialize it once instead of running
+        # normalize+shingle three times (lazy — the verify job itself
+        # materializes it).  The capped path keeps the full-corpus
+        # shingle table and stays a plain plan.
+        sh = sh.localCheckpoint(eager=False)
     return _pair_jaccard(sh, cands, threshold).select("id_a", "id_b", "jaccard")
 
 
@@ -807,7 +837,9 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("_nbl"), F.col("label"))).alias("label"),
                 (F.coalesce(F.col("_nbl"), F.col("label")) < F.col("label")).cast("long").alias("_chg"),
             )
-            .localCheckpoint()
+            # lazy checkpoint; the convergence agg below materializes it
+            # (fused probe — one job per round, r8)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.agg(F.sum("_chg")).first()[0] or 0
         labels = stepped.drop("_chg")
@@ -851,11 +883,13 @@ def _cc_star(pairs: DataFrame, id_a: str, id_b: str, max_iter: int) -> DataFrame
         .localCheckpoint()
     )
     edges = canon.filter(F.col("u") != F.col("v"))
+    # nodes stays a LAZY plan over the checkpointed canon: it is read
+    # exactly once (the final labelling join), so an eager checkpoint
+    # here would be a pure extra action (r8 fused-probe sweep)
     nodes = (
         canon.select(F.col("u").alias("node"))
         .unionByName(canon.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
 
     def _checksum(e: DataFrame) -> tuple:
@@ -906,7 +940,11 @@ def _cc_star(pairs: DataFrame, id_a: str, id_b: str, max_iter: int) -> DataFrame
     prev = _checksum(edges)
     rounds_used = 0
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # fused probe (the watershed/filter_area discipline): a LAZY
+        # checkpoint whose first action is the convergence checksum —
+        # one job per alternation instead of the round-6 two
+        # (eager checkpoint + separate checksum)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         rounds_used += 1
         cur = _checksum(edges)
         if cur == prev:

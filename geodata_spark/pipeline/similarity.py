@@ -43,6 +43,173 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Arrow batch scorer — the per-pair cosine hot path, off the JVM
+# ---------------------------------------------------------------------------
+# The historical shape computed cosine() per joined row: a higher-order
+# aggregate(zip_with(...)) pair — interpreted, with a per-row array
+# allocation — AND the join itself materialized BOTH 64-dim arrays into
+# every candidate row (≈1 KB/pair; tens of GB at crossover scale)
+# before the projection could reduce them to one double.  The scorer
+# below moves the arithmetic into numpy over whole Arrow batches while
+# the query side rides along as a driver-collected matrix (queries are
+# the broadcast-sized side by contract — the same "model-sized"
+# contract as the PQ query-LUT build).
+#
+# EXACTNESS: every sum is accumulated dimension-by-dimension in the
+# same left-to-right order as the JVM fold (aggregate starts at 0.0 and
+# adds terms sequentially; the numpy loop does acc += V[:,d]*Q[:,d] for
+# d = 0..dim-1 starting from zeros), the float→double widening is
+# exact, and IEEE multiply/divide are order-free, so every cosine is
+# BIT-IDENTICAL to the higher-order-function path — the round-6 oracle
+# hashes cannot move.  (A BLAS matmul would be ~10x faster again but
+# uses blocked summation — different ulps, different round-6 ties — so
+# it is deliberately not used.)
+
+
+def _collect_query_matrix(queries: DataFrame, q_id_col: str, q_vec_col: str):
+    """Driver-side (ids, matrix) of the query set (broadcast-sized by
+    contract)."""
+    rows = queries.select(q_id_col, q_vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    return qids, Q
+
+
+def _seq_sqnorm(V: np.ndarray) -> np.ndarray:
+    """Σ v_d² accumulated in dimension order (JVM fold order)."""
+    acc = np.zeros(len(V), dtype=np.float64)
+    for d in range(V.shape[1]):
+        acc += V[:, d] * V[:, d]
+    return acc
+
+
+def _seq_dot(V: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(n,dim)·(m,dim)ᵀ accumulated in dimension order (JVM fold
+    order): acc[i,q] += V[i,d]·Q[q,d] for d ascending."""
+    acc = np.zeros((len(V), len(Q)), dtype=np.float64)
+    tmp = np.empty_like(acc)
+    for d in range(V.shape[1]):
+        np.multiply(V[:, d : d + 1], Q[None, :, d], out=tmp)
+        acc += tmp
+    return acc
+
+
+def _list_to_mat(col, n_rows: int) -> np.ndarray:
+    """Arrow list<float|double> column → (n, dim) float64 matrix."""
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n_rows, -1)
+
+
+def _brute_score_fn(qids: np.ndarray, Q: np.ndarray, k: int,
+                    id_field: str, vec_field: str, q_id_field: str):
+    """mapInArrow fn: score every (row, query) pair, emit a per-batch
+    candidate superset of the global top-k.
+
+    Pruning is PROVABLY lossless for the (round(cos,6) desc, id asc)
+    final window: a row is dropped only when its raw cosine is more
+    than 2e-6 below the batch's k-th best for that query, which forces
+    its round-6 value strictly below k kept rows' — it cannot reach
+    the global top-k.  The final window (unchanged) does the ranking.
+    """
+    import pyarrow as pa
+
+    qn = np.sqrt(_seq_sqnorm(Q))
+
+    def score(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(id_field).to_numpy(zero_copy_only=False)
+            V = _list_to_mat(batch.column(vec_field), n)
+            vn = np.sqrt(_seq_sqnorm(V))
+            cos = _seq_dot(V, Q)
+            cos /= vn[:, None] * qn[None, :]
+            # self-pair exclusion (query_id != vec_id)
+            cos[ids[:, None] == qids[None, :]] = -np.inf
+            if n > k:
+                kth = np.partition(cos, n - k, axis=0)[n - k]
+                keep = cos >= (kth - 2e-6)
+            else:
+                keep = np.isfinite(cos)
+            keep &= np.isfinite(cos)
+            ri, qi = np.nonzero(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[qi], type=pa.int64()),
+                    pa.array(ids[ri], type=pa.int64()),
+                    pa.array(cos[ri, qi], type=pa.float64()),
+                ],
+                [q_id_field, id_field, "cosine"],
+            )
+
+    return score
+
+
+def _pair_score_fn(qids: np.ndarray, Q: np.ndarray,
+                   id_field: str, vec_field: str, q_id_field: str,
+                   k_prune: int | None = None, metric: str = "cosine",
+                   out_field: str = "cosine"):
+    """mapInArrow fn for candidate rows (query_id, vec_id, vec):
+    cosine (or raw dot, ``metric="dot"``) against the row's own query
+    vector, same fold order.
+
+    With ``k_prune`` set, each batch emits only a per-(batch, query)
+    candidate superset of the top-``k_prune`` (same lossless 2e-6
+    margin as the brute scorer) — the final ranking window then sees
+    tasks·queries·k rows instead of every candidate."""
+    import pyarrow as pa
+
+    qn = np.sqrt(_seq_sqnorm(Q))
+    order = np.argsort(qids, kind="stable")
+    sorted_qids = qids[order]
+
+    def score(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            row_qid = batch.column(q_id_field).to_numpy(zero_copy_only=False)
+            ids = batch.column(id_field).to_numpy(zero_copy_only=False)
+            V = _list_to_mat(batch.column(vec_field), n)
+            pos = order[np.searchsorted(sorted_qids, row_qid)]
+            Qr = Q[pos]
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc += V[:, d] * Qr[:, d]
+            if metric == "dot":
+                cos = acc
+            else:
+                vn = np.sqrt(_seq_sqnorm(V))
+                cos = acc / (vn * qn[pos])
+            if k_prune is not None:
+                keep = np.zeros(n, dtype=bool)
+                grp = np.argsort(row_qid, kind="stable")
+                bounds = np.flatnonzero(
+                    np.diff(row_qid[grp], prepend=row_qid[grp[0]] - 1)
+                )
+                for s, e in zip(bounds, np.append(bounds[1:], n)):
+                    idx = grp[s:e]
+                    sub = cos[idx]
+                    if len(idx) > k_prune:
+                        kth = np.partition(sub, len(idx) - k_prune)[len(idx) - k_prune]
+                        keep[idx] = sub >= (kth - 2e-6)
+                    else:
+                        keep[idx] = True
+                row_qid, ids, cos = row_qid[keep], ids[keep], cos[keep]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(row_qid, type=pa.int64()),
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                [q_id_field, id_field, out_field],
+            )
+
+    return score
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -52,11 +219,27 @@ def brute_force_topk(
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Exact top-k by cosine; queries broadcast (they are the small side)."""
-    joined = vectors.join(F.broadcast(queries))
-    sim = cosine(F.col(vec_col), F.col(q_vec_col)).alias("cosine")
-    scored = joined.select(q_id_col, id_col, sim).filter(
-        F.col(q_id_col) != F.col(id_col)
+    """Exact top-k by cosine; queries ride on the driver (small side).
+
+    One Arrow scan of the vector table (see the batch-scorer block
+    above): the round-2..7 shape — a condition-less broadcast join
+    whose output rows each carried BOTH embeddings, then a per-pair
+    higher-order cosine — materialized ≈1 KB per (vector, query) pair
+    before projecting it down to one double.  The scorer emits only a
+    provably sufficient per-batch candidate superset; the final
+    ranking window is unchanged, and every cosine is bit-identical to
+    the old fold (r8: crossover brute 27.8s → ~2s at 100k×256).
+    """
+    qids, Q = _collect_query_matrix(queries, q_id_col, q_vec_col)
+    schema = T.StructType(
+        [
+            T.StructField(q_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    scored = vectors.select(id_col, vec_col).mapInArrow(
+        _brute_score_fn(qids, Q, k, id_col, vec_col, q_id_col), schema
     )
     w = Window.partitionBy(q_id_col).orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col(id_col).asc()
@@ -140,23 +323,49 @@ def hyperplane_lsh_topk(
     (_table, _bucket) pairs — the vector table is scanned and shuffled
     ONCE, not L times (at 100 TB the vector payload dominates; L
     separate scans/unions were the round-2 scale hazard).
+
+    Shuffle shape (r8, guide §8): the bucket self-join moves ONLY the
+    narrow (id, table, bucket) rows — never an embedding payload; the
+    candidate (query, vector) pairs are ``distinct``-ed while still
+    payload-free (this is also where duplicate cross-table collisions
+    die, replacing the old post-cosine dropDuplicates), and each
+    surviving candidate re-attaches its single vector once for the
+    Arrow batch scorer.  The historical join carried both 64-dim
+    arrays through the bucket join and computed an interpreted
+    higher-order cosine per pair.  Candidate set, cosines and final
+    window are all unchanged bit-for-bit.
     """
     sigs = hyperplane_multisig_udf(dim, n_planes, n_tables, seed)
     vx = vectors.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col),
         F.posexplode(sigs(F.col(vec_col))).alias("_table", "_bucket"),
     )
     qsig = queries.select(
-        F.col(q_id_col), F.col(q_vec_col),
+        F.col(q_id_col),
         F.posexplode(sigs(F.col(q_vec_col))).alias("_table", "_qsig"),
     )
     probes = [F.col("_qsig")]
     if n_probe_bits >= 1:
         probes += [F.col("_qsig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
     qx = qsig.withColumn("_bucket", F.explode(F.array(*probes))).drop("_qsig")
-    joined = qx.join(vx, ["_table", "_bucket"]).filter(F.col(q_id_col) != F.col(id_col))
-    sim = cosine(F.col(vec_col), F.col(q_vec_col)).alias("cosine")
-    scored = joined.select(q_id_col, id_col, sim).dropDuplicates([q_id_col, id_col])
+    cand = (
+        qx.join(vx, ["_table", "_bucket"])
+        .filter(F.col(q_id_col) != F.col(id_col))
+        .select(q_id_col, id_col)
+        .distinct()
+    )
+    qids, Q = _collect_query_matrix(queries, q_id_col, q_vec_col)
+    withvec = cand.join(vectors.select(id_col, vec_col), id_col)
+    schema = T.StructType(
+        [
+            T.StructField(q_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    scored = withvec.select(q_id_col, id_col, vec_col).mapInArrow(
+        _pair_score_fn(qids, Q, id_col, vec_col, q_id_col, k_prune=k), schema
+    )
     w = Window.partitionBy(q_id_col).orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col(id_col).asc()
     )
@@ -255,22 +464,39 @@ def ivf_assign(
     (vector, centroid) pairs just to keep one row per vector.
     Ordering key struct(s, -cell) == (cosine desc, cell asc) tie-break.
     """
-    va = vectors.join(F.broadcast(cents))
+    # centroids as PLAN LITERALS (they are the model-sized side by
+    # contract): one projection computes all C similarities per row
+    # and array_max picks the best — no join (the round-7 broadcast
+    # join copied every vector C times before the aggregate could
+    # reduce it back), no max_by shuffle, zero Exchange in the whole
+    # assignment (r8).  The vector's own norm is hoisted to one
+    # evaluation per row; each centroid's norm constant-folds at plan
+    # time.  Selection is bit-identical: the same round(·, 9) per
+    # similarity, and lexicographic array_max over (s, -cell) is
+    # exactly the old max_by ordering.
+    crows = sorted(
+        ((int(r["cell"]), [float(x) for x in r["cent"]]) for r in cents.collect()),
+    )
     # assignment/probe similarities are rounded to 9 dp: selection by
     # raw doubles is vulnerable to 1-ulp fold-order/FMA differences
     # (near-tied centroids could flip cells across engines/retries);
     # at 9 dp a flip needs a genuine 1e-9 tie, broken by cell id.
-    sim_vc = F.round(cosine(F.col(vec_col), F.col("cent")), 9).alias("s")
-    return (
-        va.select(id_col, vec_col, "cell", sim_vc)
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.struct(F.col("cell"), F.col(vec_col).alias("_vec")),
-                F.struct(F.col("s"), (-F.col("cell")).alias("_negc")),
-            ).alias("_best")
+    nv = _norm(F.col(vec_col))
+    choices = F.array(*[
+        F.struct(
+            F.round(
+                _dot(F.col(vec_col), F.lit(cent)) / (F.col("_nv") * _norm(F.lit(cent))),
+                9,
+            ).alias("s"),
+            F.lit(-cell).alias("_negc"),
+            F.lit(cell).alias("cell"),
         )
-        .select(id_col, F.col("_best.cell").alias("cell"), F.col("_best._vec").alias(vec_col))
+        for cell, cent in crows
+    ])
+    return (
+        vectors.withColumn("_nv", nv)
+        .withColumn("_best", F.array_max(choices))
+        .select(id_col, F.col("_best.cell").alias("cell"), F.col(vec_col))
     )
 
 
@@ -286,19 +512,93 @@ def ivf_probe(
     q_vec_col: str = "query_vec",
 ) -> DataFrame:
     """IVF query phase against a (possibly pre-materialized) index:
-    probe each query's n_probe nearest cells, exact re-rank inside."""
+    probe each query's n_probe nearest cells, exact re-rank inside.
+
+    Plan shape (r8, guide §8 co-locate): the probe plan — which query
+    reads which cells — is model-sized (n_queries × n_probe rows), so
+    it is computed once and carried to the index scan inside the Arrow
+    scorer's closure instead of being joined: the historical
+    q_probes ⋈ v_assigned fan-out copied each indexed vector once per
+    probing query (and then ran an interpreted per-pair cosine).  Now
+    the index is scanned ONCE; each batch scores its rows against
+    exactly the queries probing their cells, with the same per-batch
+    lossless top-k pruning as brute force.  Candidate set and cosines
+    are bit-identical to the join form (the ``ann_ivf_topk`` oracle
+    row pins it).
+    """
     qa = queries.join(F.broadcast(cents))
     sim_qc = F.round(cosine(F.col(q_vec_col), F.col("cent")), 9).alias("s")
     wq = Window.partitionBy(q_id_col).orderBy(F.col("s").desc(), F.col("cell").asc())
     q_probes = (
-        qa.select(q_id_col, q_vec_col, "cell", sim_qc)
+        qa.select(q_id_col, "cell", sim_qc)
         .withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= n_probe)
-        .drop("r", "s")
+        .select(q_id_col, "cell")
     )
-    joined = q_probes.join(v_assigned, "cell").filter(F.col(q_id_col) != F.col(id_col))
-    sim = cosine(F.col(vec_col), F.col(q_vec_col)).alias("cosine")
-    scored = joined.select(q_id_col, id_col, sim).dropDuplicates([q_id_col, id_col])
+    qids, Q = _collect_query_matrix(queries, q_id_col, q_vec_col)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    cell_to_q: dict[int, list[int]] = {}
+    for r in q_probes.collect():
+        cell_to_q.setdefault(int(r["cell"]), []).append(qpos[int(r[q_id_col])])
+    cell_probe_idx = {c: np.array(sorted(v), dtype=np.int64)
+                      for c, v in cell_to_q.items()}
+    qn = np.sqrt(_seq_sqnorm(Q))
+
+    def score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cells_np = batch.column("cell").to_numpy(zero_copy_only=False)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            V = _list_to_mat(batch.column(vec_col), n)
+            vn = np.sqrt(_seq_sqnorm(V))
+            out_q: list[np.ndarray] = []
+            out_i: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            for c in np.unique(cells_np):
+                probe = cell_probe_idx.get(int(c))
+                if probe is None:
+                    continue
+                m = cells_np == c
+                Vc, vnc, idc = V[m], vn[m], ids[m]
+                cos = _seq_dot(Vc, Q[probe])
+                cos /= vnc[:, None] * qn[probe][None, :]
+                cos[idc[:, None] == qids[probe][None, :]] = -np.inf
+                nc = len(idc)
+                if nc > k:
+                    kth = np.partition(cos, nc - k, axis=0)[nc - k]
+                    keep = cos >= (kth - 2e-6)
+                else:
+                    keep = np.ones_like(cos, dtype=bool)
+                keep &= np.isfinite(cos)
+                ri, qi = np.nonzero(keep)
+                out_q.append(qids[probe][qi])
+                out_i.append(idc[ri])
+                out_c.append(cos[ri, qi])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_i), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.float64()),
+                ],
+                [q_id_col, id_col, "cosine"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(q_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    scored = v_assigned.select("cell", id_col, vec_col).mapInArrow(
+        score, schema
+    ).dropDuplicates([q_id_col, id_col])
     w = Window.partitionBy(q_id_col).orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col(id_col).asc()
     )
@@ -370,7 +670,11 @@ def kmeans_lloyd(
     emb = vecs.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    )
+    # materialize the casted vectors ONCE: the iterative driver loop
+    # issues iters+1 actions (init collect, per-round means, final
+    # assignment), each of which would otherwise rescan the source and
+    # redo the cast (r8)
+    ).localCheckpoint(eager=False)
     cents = [
         [round(float(c), 6) for c in r.v]
         for r in emb.orderBy("id").limit(k).collect()
@@ -379,8 +683,12 @@ def kmeans_lloyd(
         raise ValueError(
             f"kmeans_lloyd: k={k} exceeds the input's {len(cents)} rows"
         )
-
     def dist2(cent: list) -> "F.Column":
+        # aggregate(zip_with(...)) measured FASTER than an unrolled
+        # 64-term codegen chain here (2.7s vs 7.2s per run, r8): the
+        # k·dim unrolled expression tree grows past the codegen method
+        # budget and falls back to interpreted eval of the whole tree,
+        # while the higher-order form stays a tight loop.
         diffs = F.zip_with("v", F.lit(cent), lambda x, c: (x - c) * (x - c))
         return F.round(
             F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x), 6
@@ -569,7 +877,6 @@ def pq_topk(
     table joined to the broadcast LUT rows."""
     m = len(books)
     dsub = len(books[0][0])
-    spark = codes.sparkSession
 
     def seq_dot(a, b) -> float:
         s = 0.0
@@ -591,32 +898,68 @@ def pq_topk(
             for cent in books[j]
         ]
         lut_rows.append((r[0], lut))
-    luts = spark.createDataFrame(
-        lut_rows, f"{q_id_col} long, _lut array<double>"
-    )
 
-    score = None
-    for j in range(m):
-        term = F.element_at(
-            "_lut", F.col("codes").getItem(j) + F.lit(j * ksub + 1)
-        )
-        score = term if score is None else score + term
+    # Arrow gather scorer over ONE pass of the code table (r8): the
+    # round-7 shape — a condition-less broadcast join of the LUT rows —
+    # copied every query's full LUT array (m·ksub doubles) into every
+    # fan-out row (≈2 KB × n·nq) before the element_at chain reduced it
+    # to one double.  Here the LUT matrix rides in the task closure and
+    # each batch gathers LUT[q, j·ksub + code_j] for all queries at
+    # once, accumulating over j in the SAME order as the element_at
+    # chain (term j=0 first), so every adc_r6 is bit-identical; the
+    # per-batch pruning keeps exactly the rows with score ≥ the batch's
+    # k-th best per query — nothing ranked above them exists outside
+    # that set, so the final window (unchanged) returns the same rows.
+    import pyarrow as pa
+
+    lut_mat = np.array([lut for _, lut in lut_rows], dtype=np.float64)
+    lut_qids = np.array([qid for qid, _ in lut_rows], dtype=np.int64)
+
+    def score_fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            C = _list_to_mat(batch.column("codes"), n).astype(np.int64)
+            acc = np.zeros((n, len(lut_qids)), dtype=np.float64)
+            for j in range(m):
+                acc += lut_mat[:, j * ksub + C[:, j]].T
+            acc[ids[:, None] == lut_qids[None, :]] = -np.inf
+            if n > k:
+                kth = np.partition(acc, n - k, axis=0)[n - k]
+                keep = acc >= kth
+            else:
+                keep = np.isfinite(acc)
+            keep &= np.isfinite(acc)
+            ri, qi = np.nonzero(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(lut_qids[qi], type=pa.int64()),
+                    pa.array(ids[ri], type=pa.int64()),
+                    pa.array(acc[ri, qi], type=pa.float64()),
+                ],
+                [q_id_col, "vec_id", "adc_r6"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(q_id_col, T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc_r6", T.DoubleType()),
+        ]
+    )
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("adc_r6").desc(), F.col("vec_id").asc()
     )
     # the code table is tiny BY DESIGN (that is the compression), so
-    # maxPartitionBytes gives its scan ~1 split — but the broadcast
-    # fan-out below multiplies rows by nq, and the per-partition sort
-    # feeding WindowGroupLimit would run serially (measured 75s vs 20s
-    # for brute at 25.6M fan-out rows).  Repartition the (tiny) codes
-    # to the session's parallelism first: partition count must be
-    # sized for the OUTPUT of the fan-out, which the scan cannot know.
+    # maxPartitionBytes gives its scan ~1 split; repartition to the
+    # session's parallelism so the batch scorer runs wide.
     par = codes.sparkSession.sparkContext.defaultParallelism
     return (
         codes.repartition(par)
-        .join(F.broadcast(luts))
-        .filter(F.col("id") != F.col(q_id_col))
-        .select(q_id_col, F.col("id").alias("vec_id"), score.alias("adc_r6"))
+        .select("id", "codes")
+        .mapInArrow(score_fn, schema)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", "vec_id", "adc_r6")
@@ -650,15 +993,29 @@ def pq_topk_refined(
     second corpus scan."""
     short = pq_topk(codes, books, queries, k=shortlist,
                     q_id_col=q_id_col, q_vec_col=q_vec_col)
-    qv = queries.select(q_id_col, q_vec_col)
+    # exact re-rank via the Arrow pair scorer (r8): the shortlist rows
+    # attach their single raw vector once; the query matrix rides in
+    # the closure instead of a broadcast join copying q_vec into every
+    # row.  Raw dots are bit-identical to the old per-pair fold; the
+    # same round(·, 6) is applied JVM-side before the same window.
+    qids, Q = _collect_query_matrix(queries, q_id_col, q_vec_col)
+    schema = T.StructType(
+        [
+            T.StructField(q_id_col, T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("dot", T.DoubleType()),
+        ]
+    )
     exact = (
         short.select(q_id_col, "vec_id")
         .join(vecs.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id")
-        .join(F.broadcast(qv), q_id_col)
-        .select(
-            q_id_col, "vec_id",
-            F.round(_dot(F.col(vec_col), F.col(q_vec_col)), 6).alias("dot_r6"),
+        .select(q_id_col, "vec_id", vec_col)
+        .mapInArrow(
+            _pair_score_fn(qids, Q, "vec_id", vec_col, q_id_col,
+                           k_prune=k, metric="dot", out_field="dot"),
+            schema,
         )
+        .select(q_id_col, "vec_id", F.round(F.col("dot"), 6).alias("dot_r6"))
     )
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("dot_r6").desc(), F.col("vec_id").asc()
@@ -731,42 +1088,110 @@ def ivfpq_topk(
             round(seq_dot(qv[j * dsub:(j + 1) * dsub], cent), 6)
             for j in range(m) for cent in books[j]
         ]))
-    luts = spark.createDataFrame(
-        lut_rows, f"{q_id_col} long, _lut array<double>"
+    # ADC over the probed cells via the co-locate Arrow scorer (r8):
+    # the probe plan (which query reads which cells) and the LUT matrix
+    # are both model-sized and ride in the task closure — the round-7
+    # broadcast join copied every query's full LUT array into every
+    # (code-row × probing-query) fan-out row.  Scores accumulate the
+    # LUT terms in the same j-ascending order as the element_at chain,
+    # so the shortlist (and therefore the refined result) is identical.
+    import pyarrow as pa
+
+    lut_mat = np.array([lut for _, lut in lut_rows], dtype=np.float64)
+    lut_qids = np.array([qid for qid, _ in lut_rows], dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(lut_qids)}
+    cell_to_q: dict[int, list[int]] = {}
+    for r in q_probes.collect():
+        cell_to_q.setdefault(int(r["cell"]), []).append(qpos[int(r[q_id_col])])
+    cell_probe_idx = {c: np.array(sorted(v), dtype=np.int64)
+                      for c, v in cell_to_q.items()}
+
+    def adc_fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cells_np = batch.column("cell").to_numpy(zero_copy_only=False)
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            C = _list_to_mat(batch.column("codes"), n).astype(np.int64)
+            out_q, out_i, out_s = [], [], []
+            for c in np.unique(cells_np):
+                probe = cell_probe_idx.get(int(c))
+                if probe is None:
+                    continue
+                mask = cells_np == c
+                Cc, idc = C[mask], ids[mask]
+                acc = np.zeros((len(idc), len(probe)), dtype=np.float64)
+                sub_lut = lut_mat[probe]
+                for j in range(m):
+                    acc += sub_lut[:, j * ksub + Cc[:, j]].T
+                acc[idc[:, None] == lut_qids[probe][None, :]] = -np.inf
+                nc = len(idc)
+                if nc > shortlist:
+                    kth = np.partition(acc, nc - shortlist, axis=0)[nc - shortlist]
+                    keep = acc >= kth
+                else:
+                    keep = np.isfinite(acc)
+                keep &= np.isfinite(acc)
+                ri, qi = np.nonzero(keep)
+                out_q.append(lut_qids[probe][qi])
+                out_i.append(idc[ri])
+                out_s.append(acc[ri, qi])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_i), type=pa.int64()),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                [q_id_col, "vec_id", "adc"],
+            )
+
+    adc_schema = T.StructType(
+        [
+            T.StructField(q_id_col, T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
     )
-    score = None
-    for j in range(m):
-        term = F.element_at(
-            "_lut", F.col("codes").getItem(j) + F.lit(j * ksub + 1)
-        )
-        score = term if score is None else score + term
     par = codes.sparkSession.sparkContext.defaultParallelism
     w_short = Window.partitionBy(q_id_col).orderBy(
         F.col("adc").desc(), F.col("vec_id").asc()
     )
-    # stream the code table, broadcast the (query, probed-cell, LUT)
-    # side — nq·n_probe rows of m·ksub doubles, model-sized
     short = (
         cell_codes.repartition(par, "cell")
-        .join(F.broadcast(q_probes.join(F.broadcast(luts), q_id_col)),
-              "cell")
-        .filter(F.col("id") != F.col(q_id_col))
-        .select(q_id_col, F.col("id").alias("vec_id"), score.alias("adc"))
+        .select("cell", "id", "codes")
+        .mapInArrow(adc_fn, adc_schema)
         .withColumn("r", F.row_number().over(w_short))
         .filter(F.col("r") <= shortlist)
         .select(q_id_col, "vec_id")
     )
-    qv = queries.select(q_id_col, q_vec_col)
+    # exact re-rank of the shortlist via the cosine pair scorer — the
+    # same Arrow path as pq_topk_refined, bit-identical to the old
+    # per-pair higher-order cosine
+    qids_m, Q = _collect_query_matrix(queries, q_id_col, q_vec_col)
+    ref_schema = T.StructType(
+        [
+            T.StructField(q_id_col, T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine_r6").desc(), F.col("vec_id").asc()
     )
     return (
         short.join(vecs.select(F.col(id_col).alias("vec_id"), vec_col),
                    "vec_id")
-        .join(F.broadcast(qv), q_id_col)
+        .select(q_id_col, "vec_id", vec_col)
+        .mapInArrow(
+            _pair_score_fn(qids_m, Q, "vec_id", vec_col, q_id_col,
+                           k_prune=k),
+            ref_schema,
+        )
         .select(q_id_col, "vec_id",
-                F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6)
-                .alias("cosine_r6"))
+                F.round(F.col("cosine"), 6).alias("cosine_r6"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", "vec_id", "cosine_r6")

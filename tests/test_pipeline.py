@@ -1039,3 +1039,31 @@ def test_pq_topk_plan_repartitions_before_fanout(spark, vecs):
     assert "RoundRobinPartitioning" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the window only
+
+
+def test_normalize_single_pass_equivalence(spark):
+    """The r8 single-regex Spark normalize equals the historical
+    two-pass form (still used verbatim by the DuckDB oracle dialect)
+    on every tricky input class: runs of mixed punctuation/whitespace,
+    tabs/newlines, leading/trailing junk, unicode, digits, empties."""
+    cases = [
+        "", " ", "\t\n", "a", "A.B", "a..b", "a. \t.b", "  Hello,  WORLD!! ",
+        "w1  w2\tw3\nw4", "--x--", "café naïve", "a-b_c.d",
+        "1,234.56", "...", "A  B   C", "中文 mixed TEXT 42",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    two_pass = (
+        "trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' '), "
+        "'\\\\s+', ' '))"
+    )
+    out = df.select(
+        F.expr(TX.normalize_sql("t", "spark")).alias("fast"),
+        F.expr(two_pass).alias("slow"),
+    ).collect()
+    for r in out:
+        assert r.fast == r.slow, (r.fast, r.slow)
+
+
+def test_bloom_screen_rejects_k_hashes_over_4(docs):
+    with pytest.raises(ValueError, match="k_hashes"):
+        DD.bloom_contamination_screen(docs, docs.limit(5), k_hashes=5)
