@@ -309,7 +309,10 @@ def ordinary_kriging(
         c = sill * np.exp(-dt / range_deg)
         w = np.linalg.solve(A, np.append(c, 1.0))
         pred = float(w[:n] @ v)
-        kvar = float(sill - w[:n] @ c - w[n])
+        # C(0) = sill + nugget (the nugget sits on K's diagonal, so it
+        # belongs in the variance term too; ADVICE r7 — no call site
+        # passes nugget > 0 today, so existing outputs are unchanged)
+        kvar = float((sill + nugget) - w[:n] @ c - w[n])
         return pd.DataFrame(
             [[t_lat, t_lon, round(pred, 6), round(kvar, 6), n]],
             columns=[lat_col, lon_col, "pred_r6", "kvar_r6", "n_used"],

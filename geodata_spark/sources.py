@@ -184,7 +184,10 @@ def read_geotiff(spark: SparkSession, path: str, layer: str | None = None) -> Da
     else:
         arr = np.asarray(r["array"], dtype=np.float64)
         if r["nodata"] is not None:
-            arr = np.where(arr == r["nodata"], 0.0, arr)
+            nd = float(r["nodata"])
+            # NaN nodata (common in float GeoTIFFs) never matches ==
+            mask = np.isnan(arr) if np.isnan(nd) else (arr == nd)
+            arr = np.where(mask, 0.0, arr)
         if r["transform"] is None:
             raise ValueError(f"{path}: no geotransform (not a GeoTIFF?)")
         x0, sx, y0, sy = r["transform"]
@@ -196,7 +199,13 @@ def read_geotiff(spark: SparkSession, path: str, layer: str | None = None) -> Da
             layer=layer or path,
         )
     with rasterio.open(path) as src:  # pragma: no cover
-        arr = src.read(1)
+        arr = src.read(1).astype(np.float64)
+        # same 'band 1, nodata→0' contract as the built-in branch
+        # (ADVICE r7: the fallback used to skip nodata replacement)
+        nd = src.nodata
+        if nd is not None:
+            mask = np.isnan(arr) if np.isnan(nd) else (arr == nd)
+            arr = np.where(mask, 0.0, arr)
         t = src.transform
         return raster_to_table(
             spark, arr[::-1], src.bounds.bottom, src.bounds.left, -t.e, t.a,
@@ -459,7 +468,10 @@ def read_netcdf(
     """
     with open(path, "rb") as f:
         magic = f.read(4)
-    if magic[:3] == b"CDF":
+    # only classic CDF-1/CDF-2 route to the in-repo reader; CDF-5
+    # (version byte 5, 64-bit data variant) falls through to the
+    # xarray gate instead of a misleading parse error (ADVICE r7)
+    if magic[:3] == b"CDF" and magic[3] in (1, 2):
         coords, cubes = _netcdf3_cutout(path, bounds)
         out = gridded_to_table(spark, coords, cubes)
         if dataset == "era5":
