@@ -477,22 +477,41 @@ def ivf_assign(
     crows = sorted(
         ((int(r["cell"]), [float(x) for x in r["cent"]]) for r in cents.collect()),
     )
+    cell_ids = [c for c, _ in crows]
+    cmat = [cent for _, cent in crows]
+
+    def py_norm(cent: list) -> float:
+        # same fold as the JVM _norm: 0.0 + x0² + x1² + … then sqrt —
+        # bit-identical doubles, so baking the constant is exact
+        import math
+
+        s = 0.0
+        for x in cent:
+            s += float(x) * float(x)
+        return math.sqrt(s)
+
+    norms = [py_norm(cent) for cent in cmat]
     # assignment/probe similarities are rounded to 9 dp: selection by
     # raw doubles is vulnerable to 1-ulp fold-order/FMA differences
     # (near-tied centroids could flip cells across engines/retries);
     # at 9 dp a flip needs a genuine 1e-9 tie, broken by cell id.
+    # ONE indexed transform over a literal centroid matrix, not C
+    # unrolled branches: the unrolled form re-analyzed C large lambda
+    # subtrees per plan build, which dominated the one-shot index-build
+    # timing at small corpora (r8).
     nv = _norm(F.col(vec_col))
-    choices = F.array(*[
-        F.struct(
+    choices = F.transform(
+        F.lit(cmat),
+        lambda c, i: F.struct(
             F.round(
-                _dot(F.col(vec_col), F.lit(cent)) / (F.col("_nv") * _norm(F.lit(cent))),
+                _dot(F.col(vec_col), c)
+                / (F.col("_nv") * F.element_at(F.lit(norms), i + 1)),
                 9,
             ).alias("s"),
-            F.lit(-cell).alias("_negc"),
-            F.lit(cell).alias("cell"),
-        )
-        for cell, cent in crows
-    ])
+            (-F.element_at(F.lit(cell_ids), i + 1)).alias("_negc"),
+            F.element_at(F.lit(cell_ids), i + 1).alias("cell"),
+        ),
+    )
     return (
         vectors.withColumn("_nv", nv)
         .withColumn("_best", F.array_max(choices))
@@ -596,9 +615,18 @@ def ivf_probe(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
-    scored = v_assigned.select("cell", id_col, vec_col).mapInArrow(
-        score, schema
-    ).dropDuplicates([q_id_col, id_col])
+    # scan-level cell pruning: the probed-cell union is driver-known,
+    # so it pushes down as a partition filter on a cell-partitioned
+    # index table — at scale a query batch reads n_probe/n_cells of
+    # the partitions, never the whole index (unprobed cells contribute
+    # no candidates either way, so the result is unchanged)
+    probed_cells = sorted(int(c) for c in cell_probe_idx)
+    scored = (
+        v_assigned.filter(F.col("cell").isin(probed_cells))
+        .select("cell", id_col, vec_col)
+        .mapInArrow(score, schema)
+        .dropDuplicates([q_id_col, id_col])
+    )
     w = Window.partitionBy(q_id_col).orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col(id_col).asc()
     )
@@ -1159,8 +1187,13 @@ def ivfpq_topk(
     w_short = Window.partitionBy(q_id_col).orderBy(
         F.col("adc").desc(), F.col("vec_id").asc()
     )
+    # scan-level cell pruning (same as ivf_probe): only the probed
+    # cells' codes are read/shuffled; unprobed cells contribute no
+    # candidates either way
+    probed_cells = sorted(int(c) for c in cell_probe_idx)
     short = (
-        cell_codes.repartition(par, "cell")
+        cell_codes.filter(F.col("cell").isin(probed_cells))
+        .repartition(par, "cell")
         .select("cell", "id", "codes")
         .mapInArrow(adc_fn, adc_schema)
         .withColumn("r", F.row_number().over(w_short))
