@@ -529,6 +529,7 @@ def ivf_probe(
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
+    prune_scan: bool = True,
 ) -> DataFrame:
     """IVF query phase against a (possibly pre-materialized) index:
     probe each query's n_probe nearest cells, exact re-rank inside.
@@ -619,11 +620,19 @@ def ivf_probe(
     # so it pushes down as a partition filter on a cell-partitioned
     # index table — at scale a query batch reads n_probe/n_cells of
     # the partitions, never the whole index (unprobed cells contribute
-    # no candidates either way, so the result is unchanged)
-    probed_cells = sorted(int(c) for c in cell_probe_idx)
+    # no candidates either way, so the result is unchanged).
+    # prune_scan=False for a COMPUTED assignment (ivf_topk end-to-end):
+    # there the filter would be pushed into the defining projection and
+    # re-evaluate the whole array_max(choices) expression per row — the
+    # same duplicated-evaluation class the scorer exists to avoid
+    # (measured 2x on ivf_full, r8); the Python-side probe map already
+    # skips unprobed cells.
+    src = v_assigned
+    if prune_scan:
+        probed_cells = sorted(int(c) for c in cell_probe_idx)
+        src = src.filter(F.col("cell").isin(probed_cells))
     scored = (
-        v_assigned.filter(F.col("cell").isin(probed_cells))
-        .select("cell", id_col, vec_col)
+        src.select("cell", id_col, vec_col)
         .mapInArrow(score, schema)
         .dropDuplicates([q_id_col, id_col])
     )
@@ -659,6 +668,10 @@ def ivf_topk(
     return ivf_probe(
         v_assigned, cents, queries, n_probe, k,
         id_col, vec_col, q_id_col, q_vec_col,
+        # the assignment is computed in-plan here, not a partitioned
+        # table: a cell filter would duplicate the assignment
+        # expression instead of pruning I/O
+        prune_scan=False,
     )
 
 
