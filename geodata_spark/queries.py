@@ -5826,7 +5826,9 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     times the production shape and recall in the crossover study."""
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = SIM.ivf_centroids(vecs, 8)
-    assigned = SIM.ivf_assign(vecs, cents)
+    # layout=False: in-plan assignment, never written — skip the
+    # cell-clustering exchange the stored-index build path wants
+    assigned = SIM.ivf_assign(vecs, cents, layout=False)
     codes, books = SIM.pq_train_encode(vecs, m=4, ksub=4, iters=2)
     queries = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
