@@ -28,7 +28,7 @@ is identical in both modes; only the hash primitive differs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geodata_spark.pipeline.text import normalize_sql
@@ -880,7 +880,10 @@ def _cc_star(pairs: DataFrame, id_a: str, id_b: str, max_iter: int) -> DataFrame
             F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
         )
         .distinct()
-        .localCheckpoint()
+        # lazy: the first action is the initial convergence checksum
+        # below, which materializes the checkpoint in the same job —
+        # one driver round instead of two (r8 fused-probe discipline)
+        .localCheckpoint(eager=False)
     )
     edges = canon.filter(F.col("u") != F.col("v"))
     # nodes stays a LAZY plan over the checkpointed canon: it is read
@@ -902,6 +905,12 @@ def _cc_star(pairs: DataFrame, id_a: str, id_b: str, max_iter: int) -> DataFrame
         ).first()
         return (row["n"], row["h"], row["h2"])
 
+    # NOTE (r8): a window-min rewrite of both stars (min-of-
+    # neighborhood attached in one exchange instead of groupBy +
+    # join-back) was measured same-box at 5.4-7.1 s vs 5.4-6.1 s for
+    # this form on the sf0.1 graph — WindowExec's sort-within-
+    # partition offsets the saved exchange, so the simpler aggregate
+    # form stays.
     def _large_star(e: DataFrame) -> DataFrame:
         s = _sym(e)
         mm = (

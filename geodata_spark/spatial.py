@@ -106,6 +106,19 @@ def parse_geo_spans(docs: DataFrame, kinds: tuple[str, ...] = ("geo",)) -> DataF
 
 
 _COVER_CACHE: dict[tuple, list] = {}
+_COVER_DF_CACHE: dict[tuple, "DataFrame"] = {}
+
+
+def _zones_key(zones: dict[str, list[np.ndarray]]) -> str:
+    """Content hash of a zone catalog (cache key for cover artifacts)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for zid in sorted(zones):
+        h.update(zid.encode())
+        for ring in zones[zid]:
+            h.update(np.ascontiguousarray(ring, dtype=np.float64).tobytes())
+    return h.hexdigest()
 
 
 def _cover_rows(zones: dict[str, list[np.ndarray]], res: int, grain: str = "grid") -> list:
@@ -115,14 +128,7 @@ def _cover_rows(zones: dict[str, list[np.ndarray]], res: int, grain: str = "grid
     every query, so repeated plan builds must not re-run the planner.
     ``grain="hex"`` plans the cover on the aperture-7 hexagonal index
     (hexgrid.hex7_polyfill — same full/boundary contract)."""
-    import hashlib
-
-    h = hashlib.sha256()
-    for zid in sorted(zones):
-        h.update(zid.encode())
-        for ring in zones[zid]:
-            h.update(np.ascontiguousarray(ring, dtype=np.float64).tobytes())
-    key = (h.hexdigest(), res, grain)
+    key = (_zones_key(zones), res, grain)
     rows = _COVER_CACHE.get(key)
     if rows is None:
         if grain == "hex":
@@ -165,9 +171,21 @@ def zone_cover_df(
         ]
     )
     # Arrow path: a cover can be O(10^4) rows; per-tuple Python
-    # serialization in createDataFrame dominated plan-build latency
+    # serialization in createDataFrame dominated plan-build latency.
+    # The RESULTING DataFrame (a LocalRelation over the static zone
+    # catalog — a plan artifact, not query data) is also memoized per
+    # session: the pandas→Arrow→JVM conversion of a 366k-row hex cover
+    # costs ~0.5 s per query BUILD, paid on every plan construction
+    # without this (the cover rows above were already memoized; the
+    # conversion was not).
+    ckey = (_zones_key(zones), res, grain)
+    hit = _COVER_DF_CACHE.get(ckey)
+    if hit is not None and hit.sparkSession is spark:
+        return hit
     pdf = pd.DataFrame(rows, columns=["zone_id", cell_col, "boundary"])
-    return spark.createDataFrame(pdf, schema)
+    df = spark.createDataFrame(pdf, schema)
+    _COVER_DF_CACHE[ckey] = df
+    return df
 
 
 def pip_udf(spark: SparkSession, zones: dict[str, list[np.ndarray]] | None = None):
